@@ -1,0 +1,142 @@
+"""Multi-head attention core with torch-parity parameterization.
+
+Used by the branch transformers (reference
+``avssl/module/kw_modules/TransformerModels.py``) and the HuBERT / CLIP
+towers. Parameters mirror torch's nn.MultiheadAttention packed-QKV layout so
+released checkpoints import 1:1.
+
+The attention math runs through a single fused XLA path by default (softmax
+over the scaled score matrix, all shapes static, key-padding handled as an
+additive bias so there is no data-dependent control flow). A Pallas
+flash-attention kernel can be enabled for long sequences via
+``speechclip_plus_tpu.nn.flash`` (falls back automatically off-TPU).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MultiheadAttention", "dot_product_attention"]
+
+_MASK_VALUE = -1e30
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    return_weights: bool = False,
+):
+    """Scaled dot-product attention.
+
+    Args:
+      q, k, v: (B, H, T, Dh).
+      bias: additive attention bias broadcastable to (B, H, Tq, Tk)
+        (e.g. -inf at padded keys, causal mask).
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(dh))
+    if bias is not None:
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights_d = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    else:
+        weights_d = weights
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights_d, v)
+    if return_weights:
+        return out, weights
+    return out
+
+
+class MultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention parity (packed in_proj + out_proj).
+
+    Parameter shapes (transposed to JAX (in, out) kernel convention):
+      in_proj/kernel (D, 3D), in_proj/bias (3D,),
+      out_proj/kernel (D, D), out_proj/bias (D,).
+    """
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ):
+        D, H = self.d_model, self.nhead
+        assert D % H == 0
+        dh = D // H
+        in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")
+        out_proj = nn.Dense(D, dtype=self.dtype, name="out_proj")
+
+        B, Tq, _ = query.shape
+        Tk = key.shape[1]
+        if query is key and key is value:
+            qkv = in_proj(query)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            w = self.variables["params"]["in_proj"]["kernel"]
+            b = self.variables["params"]["in_proj"]["bias"]
+            wq, wk, wv = jnp.split(w, 3, axis=1)
+            bq, bk, bv = jnp.split(b, 3, axis=0)
+            q = query @ wq + bq
+            k = key @ wk + bk
+            v = value @ wv + bv
+
+        def split_heads(x, T):
+            return x.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q, Tq), split_heads(k, Tk), split_heads(v, Tk)
+
+        bias = None
+        if key_padding_mask is not None:
+            # True = pad -> -inf at those keys
+            bias = jnp.where(
+                key_padding_mask[:, None, None, :], _MASK_VALUE, 0.0
+            ).astype(jnp.float32)
+        if attn_mask is not None:
+            am = attn_mask.astype(jnp.float32)
+            am = am.reshape((1,) * (4 - am.ndim) + am.shape)
+            bias = am if bias is None else bias + am
+
+        dropout_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            bias=bias,
+            dropout_rate=self.dropout,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            return_weights=return_weights,
+        )
+        if return_weights:
+            out, weights = out
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+        out = out_proj(out)
+        if return_weights:
+            return out, weights
+        return out

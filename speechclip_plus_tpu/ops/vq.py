@@ -1,0 +1,139 @@
+"""Vector quantization onto the CLIP subword codebook.
+
+Reference semantics: ``avssl/module/speechclip_c_modules/my_vector_quantizer.py:12-165``
+(SimpleVectorQuantizer): input is a (B, T, V) matrix of cosine scores against
+the CLIP token-embedding table; special-token columns are masked to -inf;
+training uses Gumbel-softmax or straight-through softmax at a temperature
+(fixed / learnable / exp-decay scheduled); eval uses the hard one-hot; the op
+also reports codebook statistics (code/prob perplexity, per-timestep entropy)
+and a diversity loss.
+
+TPU-native: one pure jit-safe function, straight-through via stop_gradient
+algebra, RNG passed explicitly for Gumbel noise.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["simple_vector_quantizer", "scheduled_temperature"]
+
+_MASK_VALUE = -1e30
+
+
+def scheduled_temperature(
+    max_temp: float, min_temp: float, decay: float, num_updates: jnp.ndarray
+) -> jnp.ndarray:
+    """Exp-decay temperature schedule (reference ``my_vector_quantizer.py:58-62``)."""
+    return jnp.maximum(max_temp * decay ** num_updates.astype(jnp.float32), min_temp)
+
+
+def simple_vector_quantizer(
+    x: jnp.ndarray,
+    *,
+    temp: jnp.ndarray,
+    prob_msk: Sequence[int] = (0, 2, 3),
+    training: bool = False,
+    use_gumbel: bool = False,
+    hard: bool = True,
+    rng: Optional[jax.Array] = None,
+    ground_truth_perplexity: Optional[float] = None,
+    produce_targets: bool = True,
+    time_first: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Quantize codeword logits onto a discrete codebook.
+
+    Args:
+      x: (B, T, V) logits (cosine scores vs the codebook).
+      temp: scalar softmax temperature.
+      prob_msk: codebook ids excluded from selection (CLIP special tokens).
+      training: straight-through/Gumbel relaxation vs hard one-hot.
+      use_gumbel: sample Gumbel noise (requires ``rng``).
+      hard: straight-through hard one-hot in the forward pass.
+      rng: PRNG key for Gumbel sampling.
+      ground_truth_perplexity: optional target for the diversity loss.
+
+    Returns:
+      dict with ``subword_prob`` (B, T, V), ``targets`` (B, T, 1),
+      ``code_perplexity``, ``prob_perplexity``, ``ent_per_t`` (T,),
+      ``diversity_loss``, ``temp``, ``num_vars``.
+    """
+    if not time_first:
+        x = jnp.swapaxes(x, 1, 2)
+    B, T, V = x.shape
+    result: Dict[str, jnp.ndarray] = {"num_vars": jnp.asarray(V)}
+
+    if len(prob_msk) > 0:
+        col = jnp.arange(V)
+        special = jnp.isin(col, jnp.asarray(list(prob_msk)))
+        x = jnp.where(special[None, None, :], _MASK_VALUE, x)
+
+    flat = x.reshape(B * T, V)
+
+    k = jnp.argmax(flat, axis=-1)
+    hard_x = jax.nn.one_hot(k, V, dtype=flat.dtype)
+
+    # codebook perplexity from hard assignments
+    hard_probs = hard_x.astype(jnp.float32).mean(axis=0)
+    result["code_perplexity"] = jnp.exp(
+        -jnp.sum(hard_probs * jnp.log(hard_probs + 1e-7), axis=-1)
+    )
+
+    soft_all = jax.nn.softmax(flat.astype(jnp.float32), axis=-1)
+    avg_probs = soft_all.mean(axis=0)
+    result["prob_perplexity"] = jnp.exp(
+        -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-7), axis=-1)
+    )
+
+    probs_per_t = soft_all.reshape(B, T, V).transpose(1, 0, 2)  # (T, B, V)
+    ent_per_t = -jnp.sum(probs_per_t * jnp.log(probs_per_t + 1e-9), axis=-1).mean(
+        axis=-1
+    )
+    result["ent_per_t"] = ent_per_t
+
+    result["temp"] = jnp.asarray(temp, dtype=jnp.float32)
+
+    if training:
+        if use_gumbel:
+            assert rng is not None, "Gumbel sampling requires an rng key"
+            gumbel = -jnp.log(
+                -jnp.log(jax.random.uniform(rng, flat.shape, minval=1e-10, maxval=1.0))
+            )
+            soft = jax.nn.softmax(
+                (flat.astype(jnp.float32) + gumbel) / temp, axis=-1
+            ).astype(flat.dtype)
+            if hard:
+                g_hard = jax.nn.one_hot(jnp.argmax(soft, axis=-1), V, dtype=flat.dtype)
+                out = g_hard + soft - jax.lax.stop_gradient(soft)
+            else:
+                out = soft
+        else:
+            soft = jax.nn.softmax(flat.astype(jnp.float32) / temp, axis=-1).astype(
+                flat.dtype
+            )
+            if hard:
+                # straight-through: forward = hard one-hot, backward = soft
+                out = hard_x + soft - jax.lax.stop_gradient(soft)
+            else:
+                out = soft
+    else:
+        out = hard_x
+
+    result["subword_prob"] = out.reshape(B, T, V)
+
+    num_vars_f = jnp.float32(V)
+    if ground_truth_perplexity is not None:
+        result["diversity_loss"] = (
+            (result["prob_perplexity"] - ground_truth_perplexity) ** 2
+        ) / (num_vars_f - ground_truth_perplexity) ** 2
+    else:
+        result["diversity_loss"] = (num_vars_f - result["prob_perplexity"]) / num_vars_f
+
+    if produce_targets:
+        result["targets"] = jax.lax.stop_gradient(
+            jnp.argmax(out.reshape(B * T, V), axis=-1).reshape(B, T, 1)
+        )
+
+    return result

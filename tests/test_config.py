@@ -1,0 +1,53 @@
+import pickle
+
+from speechclip_plus_tpu.config import ConfigNode, load_config, merge_configs
+
+
+def test_nested_attribute_access():
+    cfg = ConfigNode({"a": 1, "b": {"c": 2, "d": {"e": 3}}})
+    assert cfg.a == 1
+    assert cfg.b.c == 2
+    assert cfg.b.d.e == 3
+    assert cfg["b"]["d"]["e"] == 3
+
+
+def test_merge_sequential():
+    cfg = merge_configs({"a": 1, "b": 2}, {"b": 3, "c": 4})
+    assert cfg.a == 1 and cfg.b == 3 and cfg.c == 4
+
+
+def test_roundtrip_dict():
+    d = {"x": {"y": [1, 2, {"z": 3}]}, "w": "s"}
+    cfg = ConfigNode(d)
+    assert cfg.to_dict() == d
+
+
+def test_pickle_roundtrip():
+    cfg = ConfigNode({"a": {"b": 1}})
+    cfg2 = pickle.loads(pickle.dumps(cfg))
+    assert cfg2.a.b == 1
+    assert cfg == cfg2
+
+
+def test_get_and_setdefault():
+    cfg = ConfigNode({"a": 1})
+    assert cfg.get("missing") is None
+    assert cfg.get("missing", 7) == 7
+    cfg.setdefault("n", {"m": 2})
+    assert cfg.n.m == 2
+
+
+def test_deep_update():
+    cfg = ConfigNode({"a": {"b": 1, "c": 2}})
+    cfg.deep_update({"a": {"b": 10}, "d": 4})
+    assert cfg.a.b == 10 and cfg.a.c == 2 and cfg.d == 4
+
+
+def test_load_reference_yaml(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "model_settings:\n  cascaded_objective_weight: 1.0\n"
+        "  cascaded_branch:\n    transformer_args:\n      d_model: 768\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.model_settings.cascaded_branch.transformer_args.d_model == 768
