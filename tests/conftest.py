@@ -11,3 +11,8 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # keep tests deterministic and quiet
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax  # noqa: E402
+
+# golden tests compare against torch f32; use full-precision matmuls
+jax.config.update("jax_default_matmul_precision", "highest")
