@@ -1,0 +1,340 @@
+"""HuBERT acoustic tower (Flax, TPU-first).
+
+Reproduces the semantics of the reference's patched fairseq HuBERT forward
+(`avssl/module/speech_encoder_plus.py:29-107`): run the conv frontend, layer
+norm (+ projection), add the positional convolution embedding, then the
+transformer stack, returning **every** hidden state so a learnable weighted
+sum can be applied downstream (`speech_encoder_plus.py:619-621`).
+
+TPU-first choices:
+  - all shapes static: callers pass a zero-padded (B, T) waveform batch plus a
+    boolean padding mask (True = pad), exactly the layout the reference builds
+    in `preprocess_input` (`speech_encoder_plus.py:506-518`);
+  - hidden states come back stacked as one (L+1, B, T', D) array so the
+    weighted sum is a single einsum on the MXU instead of L separate adds;
+  - convs run channel-last via `lax.conv_general_dilated` (XLA's native TPU
+    layout); attention is the shared fused path in `nn/attention.py`;
+  - no data-dependent control flow: padding is handled by multiplicative /
+    additive masks only.
+
+Two architecture variants, as in fairseq:
+  - base  (`hubert_base`):  group-norm conv frontend, post-norm encoder
+    (encoder layer_norm applied *before* the layer stack), 12 layers, D=768.
+  - large (`hubert_large_ll60k`): per-conv layer-norm frontend with conv bias,
+    pre-norm encoder (layer_norm_first=True; the final encoder layer norm is
+    **not** applied to hidden states, matching the custom extract_features at
+    `speech_encoder_plus.py:39-64`), 24 layers, D=1024, and waveform layer
+    normalization at preprocessing time (task cfg `normalize=True`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.attention import dot_product_attention
+
+__all__ = [
+    "HubertConfig",
+    "HubertModel",
+    "hubert_feat_lengths",
+    "downsample_padding_mask",
+    "normalize_waveform",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    """Architecture hyperparameters (fairseq HubertConfig subset)."""
+
+    # conv frontend: (channels, kernel, stride) per layer
+    conv_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )
+    extractor_mode: str = "group_norm"  # "group_norm" (base) | "layer_norm" (large)
+    conv_bias: bool = False
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    ffn_dim: int = 3072
+    layer_norm_first: bool = False  # True for large
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    normalize_waveform: bool = False  # True for large (task cfg `normalize`)
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def downsample_rate(self) -> int:
+        r = 1
+        for _, _, s in self.conv_layers:
+            r *= s
+        return r
+
+    @staticmethod
+    def base() -> "HubertConfig":
+        return HubertConfig()
+
+    @staticmethod
+    def large() -> "HubertConfig":
+        return HubertConfig(
+            extractor_mode="layer_norm",
+            conv_bias=True,
+            d_model=1024,
+            n_layers=24,
+            n_heads=16,
+            ffn_dim=4096,
+            layer_norm_first=True,
+            normalize_waveform=True,
+        )
+
+    @staticmethod
+    def tiny(**kw) -> "HubertConfig":
+        """Small config for tests."""
+        defaults = dict(
+            conv_layers=((16, 3, 2), (16, 3, 2)),
+            d_model=32,
+            n_layers=2,
+            n_heads=4,
+            ffn_dim=64,
+            conv_pos=16,
+            conv_pos_groups=2,
+        )
+        defaults.update(kw)
+        return HubertConfig(**defaults)
+
+
+def normalize_waveform(wav: jnp.ndarray, wav_len: jnp.ndarray) -> jnp.ndarray:
+    """Per-utterance zero-mean/unit-var over the *valid* samples.
+
+    Matches `F.layer_norm(wav, wav.shape)` applied per (unpadded) waveform in
+    the reference `preprocess_input` (`speech_encoder_plus.py:506-508`), but
+    formulated for padded batches: statistics are computed over the first
+    `wav_len` samples only (torch sees exactly those samples because the
+    reference normalizes before padding).
+    """
+    mask = (jnp.arange(wav.shape[1])[None, :] < wav_len[:, None]).astype(wav.dtype)
+    n = jnp.maximum(wav_len.astype(wav.dtype), 1.0)[:, None]
+    mean = jnp.sum(wav * mask, axis=1, keepdims=True) / n
+    centered = (wav - mean) * mask
+    var = jnp.sum(centered * centered, axis=1, keepdims=True) / n
+    return centered * jax.lax.rsqrt(var + 1e-5)
+
+
+def hubert_feat_lengths(
+    wav_len: jnp.ndarray, conv_layers: Sequence[Tuple[int, int, int]]
+) -> jnp.ndarray:
+    """Exact frame count produced by the conv frontend for each waveform."""
+    t = wav_len
+    for _, k, s in conv_layers:
+        t = (t - k) // s + 1
+    return t
+
+
+def downsample_padding_mask(
+    wav_padding_mask: jnp.ndarray, n_frames: int
+) -> jnp.ndarray:
+    """fairseq `HubertModel.forward_padding_mask` semantics.
+
+    Trim the waveform mask to a multiple of `n_frames`, reshape to
+    (B, n_frames, -1) and mark a frame as padding iff *all* of its waveform
+    samples are padding (`fairseq/models/hubert`; invoked from the custom
+    forward at reference `speech_encoder_plus.py:81-82`).
+    """
+    b, t_wav = wav_padding_mask.shape
+    extra = t_wav % n_frames
+    if extra > 0:
+        wav_padding_mask = wav_padding_mask[:, :-extra]
+    return jnp.all(wav_padding_mask.reshape(b, n_frames, -1), axis=-1)
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Waveform -> frame features, fairseq ConvFeatureExtractionModel parity.
+
+    group_norm mode (base): conv(+no bias) -> [GroupNorm on layer 0 only] -> GELU
+    layer_norm mode (large): conv(+bias) -> LayerNorm(channel) -> GELU
+    """
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        # (B, T) -> (B, T, 1); channel-last throughout (XLA TPU-native layout)
+        x = wav[:, :, None].astype(self.cfg.dtype)
+        for i, (ch, k, s) in enumerate(self.cfg.conv_layers):
+            x = nn.Conv(
+                features=ch,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=self.cfg.conv_bias,
+                dtype=self.cfg.dtype,
+                name=f"conv_{i}",
+            )(x)
+            if self.cfg.extractor_mode == "group_norm" and i == 0:
+                # torch GroupNorm(C, C): per-channel stats over time, fp32
+                x = nn.GroupNorm(
+                    num_groups=ch, epsilon=1e-5, dtype=jnp.float32, name=f"gn_{i}"
+                )(x)
+            elif self.cfg.extractor_mode == "layer_norm":
+                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}")(x)
+            x = nn.gelu(x, approximate=False)
+        return x  # (B, T', C)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """fairseq pos_conv: grouped Conv1d(k=conv_pos, pad=k//2) + SamePad + GELU.
+
+    The weight-normalized torch parameterization (weight_g/weight_v) is
+    materialized to a single kernel at import time (the tower is frozen, so
+    the reparameterization has no training effect).
+    """
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.cfg.conv_pos
+        out = nn.Conv(
+            features=self.cfg.d_model,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=self.cfg.conv_pos_groups,
+            use_bias=True,
+            dtype=self.cfg.dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:  # SamePad: drop the trailing frame for even kernels
+            out = out[:, :-1, :]
+        return nn.gelu(out, approximate=False)
+
+
+class HubertEncoderLayer(nn.Module):
+    """fairseq TransformerSentenceEncoderLayer (separate q/k/v projections)."""
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_bias: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        dh = c.d_model // c.n_heads
+
+        def attn(h):
+            B, T, D = h.shape
+            q = nn.Dense(D, dtype=c.dtype, name="q_proj")(h)
+            kk = nn.Dense(D, dtype=c.dtype, name="k_proj")(h)
+            v = nn.Dense(D, dtype=c.dtype, name="v_proj")(h)
+            split = lambda t: t.reshape(B, T, c.n_heads, dh).transpose(0, 2, 1, 3)
+            out = dot_product_attention(
+                split(q),
+                split(kk),
+                split(v),
+                bias=key_padding_bias,
+                dropout_rate=c.attention_dropout,
+                dropout_rng=self.make_rng("dropout")
+                if (c.attention_dropout > 0 and not deterministic)
+                else None,
+                deterministic=deterministic,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+            return nn.Dense(D, dtype=c.dtype, name="out_proj")(out)
+
+        def ffn(h):
+            h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(c.activation_dropout)(h, deterministic=deterministic)
+            return nn.Dense(c.d_model, dtype=c.dtype, name="fc2")(h)
+
+        drop = lambda h: nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
+        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
+
+        if c.layer_norm_first:
+            x = x + drop(attn(ln_attn(x)))
+            x = x + drop(ffn(ln_final(x)))
+        else:
+            x = ln_attn(x + drop(attn(x)))
+            x = ln_final(x + drop(ffn(x)))
+        return x
+
+
+class HubertModel(nn.Module):
+    """Full tower. Returns all hidden states stacked (L+1, B, T', D).
+
+    `hidden_states[0]` is the encoder input *after* pos-conv add (+ layer norm
+    and dropout in the post-norm/base variant), `hidden_states[i]` the output
+    of layer i — exactly the `layer_results` list built by the reference's
+    `custom_FairseqTransformerEncoder_extract_features`
+    (`speech_encoder_plus.py:47-53`).
+    """
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        wav: jnp.ndarray,
+        wav_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> dict:
+        c = self.cfg
+        feats = ConvFeatureExtractor(c, name="feature_extractor")(wav)  # (B,T',512)
+        n_frames = feats.shape[1]
+
+        feats = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(feats)
+
+        feat_padding_mask = None
+        if wav_padding_mask is not None:
+            feat_padding_mask = downsample_padding_mask(wav_padding_mask, n_frames)
+
+        if c.conv_layers[-1][0] != c.d_model:
+            feats = nn.Dense(c.d_model, dtype=c.dtype, name="post_extract_proj")(feats)
+        x = nn.Dropout(c.dropout)(feats, deterministic=deterministic)
+
+        # --- encoder (fairseq TransformerEncoder.extract_features) ---
+        if feat_padding_mask is not None:
+            x = jnp.where(feat_padding_mask[:, :, None], 0.0, x)
+        x = x + PositionalConvEmbedding(c, name="pos_conv")(x)
+        if not c.layer_norm_first:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_layer_norm")(x)
+        else:
+            # parameters exist (for checkpoint parity) but the custom forward
+            # never applies the final LN to hidden states
+            # (reference speech_encoder_plus.py:39-41,58-64)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_layer_norm")
+        x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
+
+        key_padding_bias = None
+        if feat_padding_mask is not None:
+            key_padding_bias = jnp.where(
+                feat_padding_mask[:, None, None, :], -1e30, 0.0
+            ).astype(jnp.float32)
+
+        hidden = [x]
+        for i in range(c.n_layers):
+            x = HubertEncoderLayer(c, name=f"layers_{i}")(
+                x, key_padding_bias, deterministic=deterministic
+            )
+            hidden.append(x)
+
+        return {
+            "x": x,
+            "hidden_states": jnp.stack(hidden, axis=0),  # (L+1, B, T', D)
+            "padding_mask": feat_padding_mask,
+        }

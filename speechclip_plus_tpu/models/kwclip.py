@@ -1,0 +1,662 @@
+"""KWClip: the full SpeechCLIP / SpeechCLIP+ model as one Flax module.
+
+Reference semantics: ``avssl/model/kwClip.py`` (KWClipBase +
+KWClip_GeneralTransformer):
+  - frozen HuBERT tower -> learnable weighted sum over all hidden states
+    (`kwClip.py:851`, `speech_encoder_plus.py:619-621`);
+  - frozen CLIP image tower (+ optional projection) -> L2 normalize
+    (`kwClip.py:854-857`);
+  - one of five branches (parallel / cascaded / hybrid / +plus variants,
+    `kwClip.py:677-807`), keyword branches feed CLIP's frozen text tower via
+    `encode_keywords`;
+  - outputs (loss_feats, log_metrics, others) exactly like the reference
+    forward (`kwClip.py:839-963`), with `compute_loss` as a separate pure
+    function (`kwClip.py:999-1040`).
+
+TPU-first: the whole forward is one jittable function with static shapes;
+frozen towers are wrapped in `stop_gradient` (backward pass skips them
+entirely); under pjit with batch-sharded inputs the contrastive loss sees the
+global batch, reproducing the reference's Lightning-DP gather
+(`kwClip.py:145-193`) with XLA-inserted collectives over ICI.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.losses import masked_contrastive_loss, quantity_l1_loss
+from ..ops.weighted_sum import weighted_sum
+from .branches import (
+    CascadedBranch,
+    CascadedBranchPlus,
+    HybridBranch,
+    HybridBranchPlus,
+    KeywordHeadConfig,
+    KwBnConfig,
+    ParallelBranch,
+    TransformerArgs,
+    VQConfig,
+)
+from .cif import CifConfig
+from .clip import ClipConfig, ClipModel
+from .hubert import HubertConfig, HubertModel, hubert_feat_lengths
+
+__all__ = ["ClLossConfig", "KWClipConfig", "KWClip", "compute_loss",
+           "init_kw_bn_from_token_embedding"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ClLossConfig:
+    type: str = "MaskedContrastiveLoss"
+    temperature: float = 0.07
+    temperature_trainable: bool = True
+    margin: float = 0.0
+    dcl: bool = False
+    a2b: bool = True
+    b2a: bool = True
+
+    @staticmethod
+    def from_config(node) -> "ClLossConfig":
+        d = node.to_dict() if hasattr(node, "to_dict") else dict(node)
+        args = d.get("args", {})
+        return ClLossConfig(
+            type=d.get("type", "MaskedContrastiveLoss"),
+            temperature=float(args.get("temperature", 0.07)),
+            temperature_trainable=bool(args.get("temperature_trainable", True)),
+            margin=float(args.get("margin", 0.0)),
+            dcl=bool(args.get("dcl", False)),
+            a2b=bool(args.get("a2b", True)),
+            b2a=bool(args.get("b2a", True)),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class KWClipConfig:
+    """Typed model config, built from the reference YAML schema."""
+
+    audio: HubertConfig = HubertConfig()
+    clip: ClipConfig = ClipConfig()
+    branch_type: str = "HybridBranch_plus"  # normalized alias, "" = parallel-only
+    parallel_ta: TransformerArgs = TransformerArgs()
+    cascaded_ta: TransformerArgs = TransformerArgs(
+        type="MultiheadAttentionAndNorm", nhead=8
+    )
+    head: KeywordHeadConfig = KeywordHeadConfig()
+    cif: Optional[CifConfig] = CifConfig()
+    cl_loss: ClLossConfig = ClLossConfig()
+    cascaded_objective_weight: float = 1.0
+    parallel_objective_weight: float = 1.0
+    audio_trainable: bool = False
+    image_encoder_trainable: bool = False
+    text_encoder_trainable: bool = False
+    feat_select_idx: str = "weighted_sum"
+    normalize_hiddenstates: bool = False
+    normalize_type: str = "s3prl"
+    need_projection: bool = True  # parallel branch projection
+    img_proj_dims: Optional[Tuple[int, ...]] = None
+    img_proj_dropout: float = 0.1
+    p_proj_dims: Optional[Tuple[int, ...]] = None
+    p_proj_dropout: float = 0.1
+    # branch-internal parallel projection (HybridBranch `projection_config`,
+    # reference kw_branches.py:492-505) - distinct from p_branch_proj_net
+    pbranch_proj_dims: Optional[Tuple[int, ...]] = None
+    pbranch_proj_dropout: float = 0.1
+    c_proj_dims: Optional[Tuple[int, ...]] = None
+    c_proj_dropout: float = 0.1
+    using_gt_len: bool = False
+    retrieval_audio_feat_src: str = "parallel"
+    recall_at: Tuple[int, ...] = (1, 5, 10)
+    max_audio_len: int = 102400
+    original_eot_id: int = 49407  # for gt target_len from original-id text
+
+    @property
+    def keyword_num(self) -> Optional[int]:
+        """None for dynamic (plus) branches, K for fixed keyword branches."""
+        if self.branch_type in ("CascadedBranch", "HybridBranch"):
+            return self.head.keyword_num
+        return None
+
+    @property
+    def has_parallel(self) -> bool:
+        return self.parallel_objective_weight > 0
+
+    @property
+    def has_cascaded(self) -> bool:
+        return self.cascaded_objective_weight > 0 and self.branch_type != ""
+
+    @staticmethod
+    def from_config(cfg, *, vocab_size: Optional[int] = None,
+                    sot_id: Optional[int] = None, eot_id: Optional[int] = None
+                    ) -> "KWClipConfig":
+        """Build from a reference-format ConfigNode (YAML loads verbatim).
+
+        `vocab_size`/`sot_id`/`eot_id` override the CLIP text vocabulary when
+        a reduced subword embedding is in use (`clip_official.py:63-107`)."""
+        ms = cfg.model_settings
+        c_w = float(getattr(ms, "cascaded_objective_weight", 0.0))
+        p_w = float(getattr(ms, "parallel_objective_weight", 0.0))
+
+        clip_name = cfg.clip.name
+        clip_cfg = ClipConfig.vit_l14() if "L/14" in clip_name else ClipConfig.vit_b32()
+        if vocab_size is not None:
+            clip_cfg = dataclasses.replace(
+                clip_cfg, vocab_size=vocab_size, sot_id=sot_id, eot_id=eot_id
+            )
+
+        audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")
+        audio_cfg = (
+            HubertConfig.large() if "large" in audio_name else HubertConfig.base()
+        )
+
+        branch_type = ""
+        cascaded_ta = TransformerArgs(type="MultiheadAttentionAndNorm")
+        head = KeywordHeadConfig()
+        cif = None
+        using_gt_len = False
+        if c_w > 0:
+            cb = ms.cascaded_branch
+            branch_type = cb.type.replace("KW_", "").replace("dynamic", "plus")
+            cascaded_ta = TransformerArgs.from_config(cb.transformer_args)
+            kw = getattr(cb, "keyword", None)
+            kw_num = int(getattr(kw, "number", 8)) if kw is not None else 8
+            kwp = getattr(kw, "kw_projection", None) if kw is not None else None
+            bn_node = getattr(kw, "batchnorms", None) if kw is not None else None
+            head = KeywordHeadConfig(
+                d_model=cascaded_ta.d_model,
+                text_dim=clip_cfg.text_width,
+                kw_proj_dims=(
+                    tuple(kwp.dimensions) if kwp is not None else None
+                ),
+                kw_proj_dropout=(
+                    float(kwp.dropout) if kwp is not None else 0.1
+                ),
+                vq=VQConfig.from_config(cb.vq.args),
+                bn=KwBnConfig.from_config(bn_node),
+                keyword_num=kw_num,
+            )
+            ds = getattr(cb, "downsampling", None)
+            if ds is not None and getattr(ds, "type", None) == "cif":
+                cif = CifConfig.from_config(ds.cif)
+                using_gt_len = cif.using_gt_len
+
+        parallel_ta = (
+            TransformerArgs.from_config(ms.parallel_branch.transformer_args)
+            if p_w > 0 and hasattr(ms, "parallel_branch")
+            else TransformerArgs()
+        )
+        pb = getattr(ms, "parallel_branch", None)
+        p_proj_cfg = getattr(pb, "projection_config", None) if pb is not None else None
+
+        def _proj(name):
+            node = ms.get(name, None) if hasattr(ms, "get") else None
+            if node is None:
+                return None, 0.1
+            return tuple(node.dimensions), float(node.dropout)
+
+        img_dims, img_drop = _proj("image_encoder_projection")
+        pb_dims, pb_drop = _proj("parallel_branch_projection")
+        cb_dims, cb_drop = _proj("cascaded_branch_projection")
+
+        return KWClipConfig(
+            audio=audio_cfg,
+            clip=clip_cfg,
+            branch_type=branch_type,
+            parallel_ta=parallel_ta,
+            cascaded_ta=cascaded_ta,
+            head=head,
+            cif=cif,
+            cl_loss=ClLossConfig.from_config(cfg.cl_loss),
+            cascaded_objective_weight=c_w,
+            parallel_objective_weight=p_w,
+            audio_trainable=bool(getattr(cfg.audio_encoder, "trainable", False)),
+            image_encoder_trainable=bool(
+                getattr(cfg.clip, "image_encoder_trainable", False)
+            ),
+            text_encoder_trainable=bool(
+                getattr(cfg.clip, "text_encoder_trainable", False)
+            ),
+            feat_select_idx=getattr(cfg.audio_encoder, "feat_select_idx", "weighted_sum"),
+            normalize_hiddenstates=bool(
+                getattr(cfg.audio_encoder, "normalize_hiddenstates", False)
+            ),
+            normalize_type=getattr(cfg.audio_encoder, "normalize_type", "s3prl"),
+            need_projection=bool(getattr(pb, "need_projection", True))
+            if pb is not None
+            else True,
+            img_proj_dims=img_dims,
+            img_proj_dropout=img_drop,
+            p_proj_dims=pb_dims,
+            p_proj_dropout=pb_drop,
+            pbranch_proj_dims=(
+                tuple(p_proj_cfg.dimensions) if p_proj_cfg is not None else None
+            ),
+            pbranch_proj_dropout=(
+                float(p_proj_cfg.dropout) if p_proj_cfg is not None else 0.1
+            ),
+            c_proj_dims=cb_dims,
+            c_proj_dropout=cb_drop,
+            using_gt_len=using_gt_len,
+            retrieval_audio_feat_src=getattr(
+                cfg.retrieval, "audio_feat_src", "parallel"
+            ),
+            recall_at=tuple(getattr(cfg.retrieval, "recall_at", [1, 5, 10])),
+            max_audio_len=int(getattr(cfg.audio_encoder, "max_audio_len", 102400)),
+        )
+
+
+def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+class KWClip(nn.Module):
+    """The full model. `__call__` = reference `forward(batch)`."""
+
+    cfg: KWClipConfig
+
+    def setup(self):
+        c = self.cfg
+        self.audio_encoder = HubertModel(c.audio, name="audio_encoder")
+        n_weights = c.audio.n_layers + 1
+        self.hidden_weights = self.param(
+            "weightedsum", nn.initializers.zeros, (n_weights,)
+        )
+        self.clip = ClipModel(c.clip, name="clip")
+
+        self.cascaded_branch = None
+        self.parallel_branch = None
+        if c.has_cascaded:
+            common = dict(
+                ta=c.cascaded_ta, head=c.head, audio_dim=c.cascaded_ta.d_model
+            )
+            if c.branch_type == "CascadedBranch":
+                self.cascaded_branch = CascadedBranch(**common, name="cascaded_branch")
+            elif c.branch_type == "CascadedBranch_plus":
+                self.cascaded_branch = CascadedBranchPlus(
+                    **common, cif=c.cif, name="cascaded_branch"
+                )
+            elif c.branch_type == "HybridBranch":
+                self.cascaded_branch = HybridBranch(
+                    **common,
+                    out_dim=c.clip.text_width,
+                    need_projection=c.need_projection,
+                    parallel_proj_dims=c.pbranch_proj_dims,
+                    parallel_proj_dropout=c.pbranch_proj_dropout,
+                    name="cascaded_branch",
+                )
+            elif c.branch_type == "HybridBranch_plus":
+                self.cascaded_branch = HybridBranchPlus(
+                    **common, cif=c.cif, out_dim=c.clip.text_width,
+                    name="cascaded_branch",
+                )
+            else:
+                raise NotImplementedError(c.branch_type)
+        if c.has_parallel and not c.has_cascaded:
+            self.parallel_branch = ParallelBranch(
+                ta=c.parallel_ta,
+                audio_dim=c.parallel_ta.d_model,
+                out_dim=c.clip.text_width,
+                need_projection=c.need_projection,
+                name="parallel_branch",
+            )
+
+        from ..nn.mlp import MLPLayers  # local import avoids cycle
+
+        self.img_enc_proj_net = (
+            MLPLayers(units=c.img_proj_dims, dropout=c.img_proj_dropout,
+                      name="img_enc_proj_net")
+            if c.img_proj_dims is not None else None
+        )
+        self.p_branch_proj_net = (
+            MLPLayers(units=c.p_proj_dims, dropout=c.p_proj_dropout,
+                      name="p_branch_proj_net")
+            if c.p_proj_dims is not None else None
+        )
+        self.c_branch_proj_net = (
+            MLPLayers(units=c.c_proj_dims, dropout=c.c_proj_dropout,
+                      name="c_branch_proj_net")
+            if c.c_proj_dims is not None else None
+        )
+
+        if c.cl_loss.temperature_trainable:
+            # learnable log(1/T) (reference losses.py:160-163)
+            self.log_inv_temp = self.param(
+                "criterion_log_inv_temp",
+                nn.initializers.constant(float(np.log(1.0 / c.cl_loss.temperature))),
+                (),
+            )
+
+    # ---------------------------------------------------------- towers ----
+
+    def forward_audio(
+        self,
+        wav: jnp.ndarray,
+        wav_len: jnp.ndarray,
+        wav_padding_mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+        return_hidden_states: bool = False,
+    ):
+        """Frozen HuBERT + learnable weighted sum
+        (reference `speech_encoder_plus.py:520-634`)."""
+        c = self.cfg
+        if wav_padding_mask is None:
+            wav_padding_mask = (
+                jnp.arange(wav.shape[1])[None, :] >= wav_len[:, None]
+            )
+        out = self.audio_encoder(
+            wav, wav_padding_mask, deterministic=deterministic
+        )
+        hidden = out["hidden_states"]  # (L+1, B, T, D)
+        if not c.audio_trainable:
+            hidden = jax.lax.stop_gradient(hidden)
+        if c.normalize_hiddenstates and c.normalize_type.startswith("method"):
+            if c.normalize_type == "method1":
+                hidden = hidden / (
+                    jnp.linalg.norm(hidden, axis=-1, keepdims=True) + 1e-8
+                )
+            elif c.normalize_type == "method2":
+                hidden = hidden / jnp.linalg.norm(hidden, axis=-1).mean(
+                    axis=-1
+                )[:, :, None, None]
+
+        if c.feat_select_idx == "weighted_sum":
+            feat = weighted_sum(
+                hidden,
+                self.hidden_weights,
+                normalize_features=c.normalize_hiddenstates
+                and c.normalize_type == "s3prl",
+            )
+        elif c.feat_select_idx == "last_hidden_state":
+            feat = hidden[-1]
+        else:
+            raise KeyError(c.feat_select_idx)
+
+        feat_len = jnp.minimum(
+            jnp.round(wav_len.astype(jnp.float32) / c.audio.downsample_rate).astype(
+                jnp.int32
+            ),
+            feat.shape[1],
+        )
+        if return_hidden_states:
+            return feat, feat_len, hidden
+        return feat, feat_len
+
+    def encode_image(self, image: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        feat = self.clip.encode_image(image)
+        if not self.cfg.image_encoder_trainable:
+            feat = jax.lax.stop_gradient(feat)
+        if self.img_enc_proj_net is not None:
+            feat = self.img_enc_proj_net(feat, deterministic=deterministic)
+        return _l2norm(feat)
+
+    # --------------------------------------------------------- forward ----
+
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        *,
+        training: bool = False,
+        global_step: Optional[jnp.ndarray] = None,
+        deterministic: Optional[bool] = None,
+    ) -> Tuple[Dict, Dict, Dict]:
+        """Returns (loss_feats, log_metrics, others), reference
+        `KWClip_GeneralTransformer.forward` (`kwClip.py:839-963`)."""
+        c = self.cfg
+        if deterministic is None:
+            deterministic = not training
+        wav, wav_len = batch["wav"], batch["wav_len"]
+        image = batch["image"]
+        ids = batch["id"]
+
+        audio_feat, audio_feat_len = self.forward_audio(
+            wav, wav_len, batch.get("wav_padding_mask"), deterministic=deterministic
+        )
+        image_feat = self.encode_image(image, deterministic=deterministic)
+
+        target_len = None
+        if c.branch_type.endswith("_plus"):
+            if c.using_gt_len and "text" in batch:
+                # EOT index - 1 in original-id space (reference kwClip.py:861-869)
+                text = batch["text"]
+                target_len = (jnp.argmax(text, axis=-1) - 1).astype(jnp.int32)
+            else:
+                target_len = jnp.round(audio_feat_len.astype(jnp.float32) / 20.0).astype(
+                    jnp.int32
+                )
+
+        token_emb = self.clip.text.token_embedding.embedding
+        if not c.text_encoder_trainable:
+            token_emb = jax.lax.stop_gradient(token_emb)
+
+        output: Dict[str, Any] = {}
+        if self.cascaded_branch is not None:
+            kwargs = dict(
+                training=training,
+                num_updates=global_step,
+                deterministic=deterministic,
+            )
+            if c.branch_type.endswith("_plus"):
+                kwargs.update(target_len=target_len, global_step=global_step)
+            output = self.cascaded_branch(
+                audio_feat, audio_feat_len, token_emb, **kwargs
+            )
+        if self.parallel_branch is not None:
+            output = self.parallel_branch(
+                audio_feat, audio_feat_len, deterministic=deterministic
+            )
+
+        parallel_audio_feat = output.get("parallel_audio_feat")
+        keywords = output.get("keywords")
+        vq_results = output.get("vq_results")
+        dsample_results = output.get("dsample_results")
+
+        cascaded_audio_feat = None
+        if keywords is not None:
+            keyword_num = (
+                output.get("keywords_len")
+                if output.get("keywords_len") is not None
+                else output["keyword_num"]
+            )
+            cascaded_audio_feat = self.clip.encode_keywords(keywords, keyword_num)
+            if not c.text_encoder_trainable:
+                # grads flow through activations to the keywords, not into
+                # the frozen text tower's params (handled by optimizer mask)
+                pass
+
+        loss_feats: Dict[str, Any] = {"id": ids, "image_feat": image_feat}
+        others: Dict[str, Any] = {"id": ids, "image_feat": image_feat}
+
+        if cascaded_audio_feat is not None:
+            if self.c_branch_proj_net is not None:
+                cascaded_audio_feat = self.c_branch_proj_net(
+                    cascaded_audio_feat, deterministic=deterministic
+                )
+            cascaded_audio_feat = _l2norm(cascaded_audio_feat)
+            loss_feats["cascaded_audio_feat"] = cascaded_audio_feat
+        if parallel_audio_feat is not None:
+            if self.p_branch_proj_net is not None:
+                parallel_audio_feat = self.p_branch_proj_net(
+                    parallel_audio_feat, deterministic=deterministic
+                )
+            parallel_audio_feat = _l2norm(parallel_audio_feat)
+            loss_feats["parallel_audio_feat"] = parallel_audio_feat
+
+        if dsample_results is not None and c.cif is not None:
+            loss_feats["cif_quantity_out"] = dsample_results["quantity_out"]
+            loss_feats["cif_target_len"] = (
+                dsample_results.get("target_len")
+                if dsample_results.get("target_len") is not None
+                else target_len
+            )
+
+        log_metrics: Dict[str, Any] = {"cl_temp": self.current_temperature()}
+        if vq_results is not None:
+            log_metrics["softmax_temp"] = vq_results["temp"]
+            log_metrics["temp"] = vq_results["temp"]
+            log_metrics["code_perplexity"] = vq_results["code_perplexity"]
+            log_metrics["prob_perplexity"] = vq_results["prob_perplexity"]
+            log_metrics["ent_per_t"] = vq_results["ent_per_t"].mean()
+        if dsample_results is not None and "dsample_len_diff" in dsample_results:
+            log_metrics["dsample_len_diff"] = dsample_results["dsample_len_diff"]
+
+        others.update(
+            {
+                "parallel_audio_feat": parallel_audio_feat,
+                "cascaded_audio_feat": cascaded_audio_feat,
+                "vq_results": vq_results,
+                "keywords": keywords,
+                "dsample_results": dsample_results,
+                "keywords_len": output.get("keywords_len"),
+            }
+        )
+        return loss_feats, log_metrics, others
+
+    def current_temperature(self) -> jnp.ndarray:
+        c = self.cfg
+        if c.cl_loss.temperature_trainable:
+            return 1.0 / jnp.exp(self.log_inv_temp)
+        return jnp.asarray(c.cl_loss.temperature, jnp.float32)
+
+    def logit_multiplier(self) -> jnp.ndarray:
+        c = self.cfg
+        if c.cl_loss.temperature_trainable:
+            return jnp.exp(self.log_inv_temp)
+        return jnp.asarray(1.0 / c.cl_loss.temperature, jnp.float32)
+
+    def compute_loss(self, loss_feats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Reference `compute_loss` (`kwClip.py:999-1040`). Call on
+        *global-batch* features (under pjit this is automatic)."""
+        c = self.cfg
+        scale = self.logit_multiplier()
+        image_feat = loss_feats["image_feat"].astype(jnp.float32)
+        ids = loss_feats["id"]
+        valid = loss_feats.get("valid")
+        losses: Dict[str, jnp.ndarray] = {}
+        total = jnp.float32(0.0)
+        for key, weight, short in (
+            ("cascaded_audio_feat", c.cascaded_objective_weight, "c_cl_loss"),
+            ("parallel_audio_feat", c.parallel_objective_weight, "p_cl_loss"),
+        ):
+            if weight > 0.0 and key in loss_feats:
+                l = masked_contrastive_loss(
+                    loss_feats[key].astype(jnp.float32),
+                    image_feat,
+                    ids,
+                    logit_scale=scale,
+                    margin=c.cl_loss.margin,
+                    dcl=c.cl_loss.dcl,
+                    a2b=c.cl_loss.a2b,
+                    b2a=c.cl_loss.b2a,
+                    valid=valid,
+                )
+                losses[short] = l
+                total = total + weight * l
+        if (
+            c.cif is not None
+            and "cif_quantity_out" in loss_feats
+            and loss_feats.get("cif_target_len") is not None
+        ):
+            q = quantity_l1_loss(
+                loss_feats["cif_quantity_out"], loss_feats["cif_target_len"]
+            )
+            losses["quantity_loss"] = q
+            total = total + c.cif.quantity_loss_weight * q
+        losses["loss"] = total
+        return losses
+
+    # ----------------------------------------------------- library API ----
+
+    def encode_speech(
+        self, wav: jnp.ndarray, wav_len: jnp.ndarray
+    ) -> Dict[str, Any]:
+        """Reference `encode_speech` (`kwClip.py:1042-1091`)."""
+        audio_feat, audio_feat_len = self.forward_audio(wav, wav_len)
+        token_emb = self.clip.text.token_embedding.embedding
+        output: Dict[str, Any] = {}
+        if self.cascaded_branch is not None:
+            output = self.cascaded_branch(audio_feat, audio_feat_len, token_emb)
+        if self.parallel_branch is not None:
+            output = self.parallel_branch(audio_feat, audio_feat_len)
+        cascaded_audio_feat = None
+        if output.get("keywords") is not None:
+            keyword_num = (
+                output.get("keywords_len")
+                if output.get("keywords_len") is not None
+                else output["keyword_num"]
+            )
+            cascaded_audio_feat = self.clip.encode_keywords(
+                output["keywords"], keyword_num
+            )
+        parallel_audio_feat = output.get("parallel_audio_feat")
+        if parallel_audio_feat is not None and self.p_branch_proj_net is not None:
+            parallel_audio_feat = self.p_branch_proj_net(parallel_audio_feat)
+        return {
+            "cascaded_audio_feat": cascaded_audio_feat,
+            "parallel_audio_feat": parallel_audio_feat,
+            "vq_results": output.get("vq_results"),
+            "keywords": output.get("keywords"),
+            "dsample_results": output.get("dsample_results"),
+        }
+
+    def feature_extractor(
+        self, wav: jnp.ndarray, wav_len: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        """Reference `feature_extractor_s3prl` (`kwClip.py:965-997`):
+        (last_hidden, all hidden states incl. branch layers)."""
+        audio_feat, audio_feat_len, hidden = self.forward_audio(
+            wav, wav_len, return_hidden_states=True
+        )
+        hidden_states = tuple(hidden[i] for i in range(hidden.shape[0]))
+        if self.cascaded_branch is not None:
+            hs = self.cascaded_branch.extract_hidden_states(audio_feat, audio_feat_len)
+            hidden_states = hidden_states + tuple(hs[1:])
+        if self.parallel_branch is not None:
+            hs = self.parallel_branch.extract_hidden_states(audio_feat, audio_feat_len)
+            hidden_states = hidden_states + tuple(hs[1:])
+        return hidden_states[-1], hidden_states
+
+
+def compute_loss(
+    model: KWClip, variables, loss_feats: Dict[str, jnp.ndarray]
+) -> Dict[str, jnp.ndarray]:
+    """Functional wrapper for the loss (usable without a live module)."""
+    return model.apply(variables, loss_feats, method=KWClip.compute_loss)
+
+
+def init_kw_bn_from_token_embedding(
+    params: Dict, token_embedding: np.ndarray, cfg: KWClipConfig
+) -> Dict:
+    """Overwrite keyword-BN scale/bias with CLIP token-embedding statistics
+    (reference `kw_branches.py:93-118`: gamma = std(emb) * std_scale,
+    beta = mean(emb)). Returns updated params (pure)."""
+    if not (cfg.has_cascaded and cfg.head.bn.enabled):
+        return params
+    emb = np.asarray(token_embedding, np.float32)
+    mean = emb.mean(axis=0)
+    # torch.std default: unbiased
+    std = emb.std(axis=0, ddof=1) * cfg.head.bn.std_scale
+    variant = "dynamic" if cfg.branch_type.endswith("_plus") else "fixed"
+    if variant == "fixed" and cfg.head.bn.type == "eachKw":
+        k = cfg.head.keyword_num
+        if cfg.head.bn.parallel:
+            # channel layout (D*K): channel index = d*K + k
+            scale = np.repeat(std, k)
+            bias = np.repeat(mean, k)
+        else:
+            scale = np.tile(std[None, :], (k, 1))
+            bias = np.tile(mean[None, :], (k, 1))
+    else:
+        scale, bias = std, mean
+
+    import copy
+
+    out = copy.deepcopy(params)
+    node = out["cascaded_branch"]["head"]["bn_layer"]
+    node["scale"] = jnp.asarray(scale)
+    node["bias"] = jnp.asarray(bias)
+    return out

@@ -1,0 +1,9 @@
+"""Device-mesh data parallelism: the TPU-native replacement for the
+reference's Lightning-DP strategy (reference SURVEY §2.16 / §5)."""
+from .mesh import make_mesh, batch_sharding, replicated_sharding  # noqa: F401
+from .train_step import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)

@@ -1,0 +1,163 @@
+"""Sharded train / eval steps.
+
+One jitted global-view step reproduces the reference's two-phase
+Lightning-DP protocol (`avssl/model/kwClip.py:145-193`: per-GPU forward ->
+gather -> loss on the concatenated batch) with zero orchestration code: the
+batch is sharded over the mesh's data axis, the forward runs SPMD, and the
+contrastive similarity matrix forces XLA to all-gather the (tiny) projected
+features over ICI. Gradients are psum-reduced automatically; keyword
+BatchNorm statistics are likewise computed over the global batch, matching
+DP's single-process batch-stat view.
+
+Mixed precision: the reference trains fp16 via Lightning (`trainer.precision:
+16`); on TPU the towers run bf16 when `KWClipConfig.audio.dtype` /
+`clip.dtype` are set to bfloat16, while losses, BN stats, VQ statistics and
+the CIF accumulator stay fp32 (see ops/*).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.kwclip import KWClip
+from .mesh import batch_sharding, replicated_sharding
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model: KWClip, variables: Dict, tx: optax.GradientTransformation
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def _forward_and_loss(
+    model: KWClip, params, batch_stats, batch, step, rngs, training: bool
+):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if training:
+        (loss_feats, log_metrics, others), new_vars = model.apply(
+            variables,
+            batch,
+            training=True,
+            global_step=step,
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        new_stats = new_vars.get("batch_stats", batch_stats)
+    else:
+        loss_feats, log_metrics, others = model.apply(
+            variables, batch, training=False
+        )
+        new_stats = batch_stats
+    if "valid" in batch:
+        loss_feats = dict(loss_feats, valid=batch["valid"])
+    losses = model.apply(variables, loss_feats, method=KWClip.compute_loss)
+    return losses, log_metrics, others, new_stats
+
+
+def make_train_step(
+    model: KWClip,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the jitted SPMD train step.
+
+    Returns `step_fn(state, batch, rng) -> (state, metrics)`. When `mesh` is
+    given, input batches are expected sharded on the leading axis and the
+    state replicated; without a mesh it is an ordinary single-device jit.
+    """
+
+    def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        rngs = {"dropout": jax.random.fold_in(rng, state.step)}
+        rngs["vq"] = jax.random.fold_in(rngs["dropout"], 1)
+
+        def loss_fn(params):
+            losses, log_metrics, _, new_stats = _forward_and_loss(
+                model, params, state.batch_stats, batch, state.step, rngs, True
+            )
+            return losses["loss"], (losses, log_metrics, new_stats)
+
+        (_, (losses, log_metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {f"train_{k}": v for k, v in losses.items()}
+        metrics.update({f"train_{k}": v for k, v in log_metrics.items()})
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: KWClip, mesh=None) -> Callable:
+    """Jitted validation step: loss metrics + retrieval features
+    (reference `validation_step`, `kwClip.py:195-246`)."""
+
+    def step_fn(state: TrainState, batch: Dict):
+        losses, log_metrics, others, _ = _forward_and_loss(
+            model, state.params, state.batch_stats, batch, state.step, None, False
+        )
+        audio_feat = (
+            others["cascaded_audio_feat"]
+            if model.cfg.retrieval_audio_feat_src == "cascaded"
+            else others["parallel_audio_feat"]
+        )
+        out = {
+            "id": batch["id"],
+            "audio_feat": audio_feat,
+            "image_feat": others["image_feat"],
+        }
+        if others.get("keywords") is not None:
+            out["keywords"] = others["keywords"]
+        if others.get("keywords_len") is not None:
+            out["keywords_len"] = others["keywords_len"]
+        if "valid" in batch:
+            out["valid"] = batch["valid"]
+        metrics = {f"val_{k}": v for k, v in losses.items()}
+        metrics.update({f"val_{k}": v for k, v in log_metrics.items()})
+        return metrics, out
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            step_fn, in_shardings=(repl, data), out_shardings=(repl, repl)
+        )
+    return jax.jit(step_fn)

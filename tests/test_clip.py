@@ -1,0 +1,165 @@
+"""CLIP tower parity vs a torch oracle (transformers CLIPModel, quick_gelu).
+
+HF's CLIPModel is a faithful port of OpenAI CLIP (the model the reference
+wraps at `avssl/module/clip_official.py:52`), so activation parity against it
+at fp32 validates our ViT + causal text tower + pooling math. We also test
+`encode_keywords` (`clip_official.py:222-279`) against a literal torch
+re-enactment of its scatter/inject semantics.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+from speechclip_plus_tpu.checkpoint.towers import (
+    hf_clip_to_flax,
+    reduce_token_embedding,
+)
+from speechclip_plus_tpu.models.clip import ClipConfig, ClipModel
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    hf_cfg = transformers.CLIPConfig(
+        projection_dim=16,
+        text_config=dict(
+            vocab_size=64,
+            hidden_size=32,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=16,
+            hidden_act="quick_gelu",
+            eos_token_id=63,
+            bos_token_id=62,
+        ),
+        vision_config=dict(
+            hidden_size=24,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            image_size=32,
+            patch_size=16,
+            hidden_act="quick_gelu",
+        ),
+    )
+    torch.manual_seed(0)
+    oracle = transformers.CLIPModel(hf_cfg).eval()
+    cfg = ClipConfig.tiny()
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params = hf_clip_to_flax(sd, cfg)
+    return oracle, cfg, params
+
+
+def test_encode_image_parity(pair):
+    oracle, cfg, params = pair
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle.get_image_features(torch.from_numpy(img)).numpy()
+    model = ClipModel(cfg)
+    got = model.apply(
+        {"params": params},
+        jnp.asarray(img.transpose(0, 2, 3, 1)),  # ours is channel-last
+        method=model.encode_image,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_encode_text_parity(pair):
+    oracle, cfg, params = pair
+    rng = np.random.RandomState(1)
+    # CLIP-style sequences: SOT ... EOT then pad id 0; EOT has the max id
+    ids = rng.randint(1, 60, size=(3, 16))
+    ids[:, 0] = 62
+    eot_pos = np.array([5, 15, 9])
+    for b, e in enumerate(eot_pos):
+        ids[b, e] = 63
+        ids[b, e + 1:] = 0
+    with torch.no_grad():
+        ref = oracle.get_text_features(
+            torch.from_numpy(ids), attention_mask=torch.ones_like(torch.from_numpy(ids))
+        ).numpy()
+    model = ClipModel(cfg)
+    got = model.apply({"params": params}, jnp.asarray(ids), method=model.encode_text)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+
+
+def _torch_encode_keywords(oracle, keywords, keyword_num, sot, eot, context):
+    """Literal torch re-enactment of `clip_official.py:234-279`."""
+    bsz = keywords.shape[0]
+    text = torch.zeros([bsz, context], dtype=torch.long)
+    text[:, 0] = sot
+    if isinstance(keyword_num, torch.Tensor):
+        index = keyword_num + 1
+        text = text.scatter(1, index.unsqueeze(1), eot)
+    else:
+        index = None
+        text[:, keyword_num + 1] = eot
+    tm = oracle.text_model
+    x = tm.embeddings.token_embedding(text)
+    if index is not None:
+        for i in range(bsz):
+            x[i, 1 : index[i], :] = keywords[i, : index[i] - 1, :]
+    else:
+        x[:, 1 : 1 + keyword_num] = keywords
+    x = x + tm.embeddings.position_embedding.weight
+    causal = torch.full((context, context), float("-inf")).triu(1)
+    for layer in tm.encoder.layers:
+        x = layer(x, attention_mask=None, causal_attention_mask=causal[None, None])[0]
+    x = tm.final_layer_norm(x)
+    if index is not None:
+        pooled = x[torch.arange(bsz), index]
+    else:
+        pooled = x[:, 1 + keyword_num]
+    return (pooled @ oracle.text_projection.weight.T).detach().numpy()
+
+
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_encode_keywords_parity(pair, dynamic):
+    oracle, cfg, params = pair
+    rng = np.random.RandomState(2)
+    B, K, W = 3, 8, cfg.text_width
+    kws = rng.randn(B, K, W).astype(np.float32) * 0.02
+    if dynamic:
+        knum_np = np.array([3, 8, 5])
+        knum_t = torch.from_numpy(knum_np)
+        knum_j = jnp.asarray(knum_np)
+    else:
+        knum_t = K
+        knum_j = K
+    with torch.no_grad():
+        ref = _torch_encode_keywords(
+            oracle, torch.from_numpy(kws), knum_t, cfg.sot_id, cfg.eot_id,
+            cfg.context_length,
+        )
+    model = ClipModel(cfg)
+    got = model.apply(
+        {"params": params}, jnp.asarray(kws), knum_j, method=model.encode_keywords
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-4, atol=3e-5)
+
+
+def test_reduce_token_embedding(pair):
+    _, cfg, params = pair
+    selected = [0, 5, 7, 62, 63]
+    red = reduce_token_embedding(params, selected)
+    emb = red["text"]["token_embedding"]["embedding"]
+    assert emb.shape[0] == 5
+    np.testing.assert_array_equal(
+        emb[1], params["text"]["token_embedding"]["embedding"][5]
+    )
+
+
+def test_get_scores_shapes(pair):
+    _, cfg, params = pair
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    ids = np.zeros((4, 16), dtype=np.int32)
+    ids[:, 0], ids[:, 5] = 62, 63
+    model = ClipModel(cfg)
+    li, lt = model.apply({"params": params}, img, jnp.asarray(ids))
+    assert li.shape == (2, 4) and lt.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-6)
