@@ -1,0 +1,10 @@
+#!/bin/bash
+# Evaluate SpeechCLIP+ hybrid (base) retrieval on the Flickr8k test split.
+set -e
+EXP_ROOT="${EXP_ROOT:-exp/hybrid_base}"
+CFG="config/speechclip_plus/base/hybrid.yaml"
+python3 run_task.py TrainKWClip_GeneralTransformer \
+    --config "$CFG" \
+    --resume "$EXP_ROOT/checkpoints" \
+    --test \
+    --save_path "$EXP_ROOT" "$@"

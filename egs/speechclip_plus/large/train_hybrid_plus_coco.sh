@@ -1,0 +1,9 @@
+#!/bin/bash
+# Train SpeechCLIP+ hybrid+ (large) on SpokenCOCO.
+set -e
+EXP_ROOT="${EXP_ROOT:-exp/hybrid_plus_large_coco}"
+CFG="config/speechclip_plus/large/coco/hybrid_plus.yaml"
+mkdir -p "$EXP_ROOT"
+python3 run_task.py TrainKWClip_GeneralTransformer \
+    --config "$CFG" --devices -1 --njobs 4 --seed 7122 --train \
+    --save_path "$EXP_ROOT" "$@"

@@ -1,0 +1,26 @@
+#!/usr/bin/env python3
+"""CLI dispatcher (reference ``run_task.py:11-22``):
+
+    python run_task.py TrainKWClip_GeneralTransformer --config <yaml> --train
+"""
+import argparse
+import sys
+
+import speechclip_plus_tpu.tasks as tasks
+
+
+def main():
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("task", type=str, help="task class name")
+    args, _ = parser.parse_known_args()
+
+    runner = getattr(tasks, args.task)()
+    task_parser = argparse.ArgumentParser()
+    task_parser.add_argument("task", type=str)
+    runner.add_args(task_parser)
+    runner.parse_args(task_parser)
+    runner.run()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -198,3 +198,39 @@ class ReducedVocab:
 
     def to_original(self, ids: np.ndarray) -> np.ndarray:
         return self.selected_ids[np.asarray(ids)]
+
+
+class ClipTextProcessor:
+    """Host-side text helpers matching the reference ClipModel surface:
+    `prep_text` (`clip_official.py:168-182`: tokenize + map to reduced ids)
+    and `deTokenize` (`:184-200`: reduced->original ids -> text, special
+    tokens stripped)."""
+
+    def __init__(self, tokenizer: SimpleTokenizer, vocab: "ReducedVocab" = None):
+        self.tokenizer = tokenizer
+        self.vocab = vocab
+
+    def prep_text(self, sents, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        ids = self.tokenizer.tokenize(sents, context_length)
+        if self.vocab is not None:
+            ids = self.vocab.to_reduced(ids)
+        return ids
+
+    def detokenize(self, ids) -> list:
+        ids = np.asarray(ids)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        out = []
+        for row in ids:
+            if self.vocab is not None:
+                row = self.vocab.to_original(row)
+            text = self.tokenizer.decode(row)
+            out.append(
+                text.replace("<|startoftext|>", "")
+                .replace("<|endoftext|>", "")
+                .strip()
+            )
+        return out
+
+    # reference-compatible alias
+    deTokenize = detokenize

@@ -142,16 +142,30 @@ class KWClipConfig:
         p_w = float(getattr(ms, "parallel_objective_weight", 0.0))
 
         clip_name = cfg.clip.name
-        clip_cfg = ClipConfig.vit_l14() if "L/14" in clip_name else ClipConfig.vit_b32()
+        if getattr(cfg.clip, "tiny", False):
+            # development/testing escape hatch: tiny towers, same wiring
+            clip_cfg = ClipConfig.tiny(
+                text_width=int(getattr(cfg.clip, "tiny_width", 32)),
+                embed_dim=int(getattr(cfg.clip, "tiny_width", 32)),
+            )
+        elif "L/14" in clip_name:
+            clip_cfg = ClipConfig.vit_l14()
+        else:
+            clip_cfg = ClipConfig.vit_b32()
         if vocab_size is not None:
             clip_cfg = dataclasses.replace(
                 clip_cfg, vocab_size=vocab_size, sot_id=sot_id, eot_id=eot_id
             )
 
         audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")
-        audio_cfg = (
-            HubertConfig.large() if "large" in audio_name else HubertConfig.base()
-        )
+        if getattr(cfg.audio_encoder, "tiny", False):
+            audio_cfg = HubertConfig.tiny(
+                d_model=int(getattr(cfg.audio_encoder, "tiny_width", 32))
+            )
+        elif "large" in audio_name:
+            audio_cfg = HubertConfig.large()
+        else:
+            audio_cfg = HubertConfig.base()
 
         branch_type = ""
         cascaded_ta = TransformerArgs(type="MultiheadAttentionAndNorm")

@@ -1,0 +1,204 @@
+"""Fused (flash) attention Pallas kernel for TPU, with XLA fallback.
+
+Replaces the unfused softmax(QK^T)V path in `nn/attention.py` for the long
+sequences in the model — HuBERT frames (up to 320 at the reference's 6.4 s
+crop, more for longer audio) and branch transformers over [CLS; frames].
+Online-softmax tiling (flash-attention style): the (Tq, Tk) score matrix
+never hits HBM; running max/sum and the output accumulator live in VMEM
+scratch, K/V are streamed block-by-block. fp32 accumulation, bf16-friendly
+inputs.
+
+Forward = Pallas kernel (saves out + logsumexp); backward = custom VJP that
+recomputes scores blockwise with XLA einsums (exact, memory-light at these
+sequence lengths). Use `flash_attention(..., use_pallas=False)` or non-TPU
+backends to fall through to the reference-parity XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["flash_attention"]
+
+_NEG_INF = -1e30
+
+
+def _xla_attention(q, k, v, kpm):
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(q.shape[-1]))
+    if kpm is not None:
+        scores = jnp.where(kpm[:, None, None, :], _NEG_INF, scores)
+    w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int):
+    """One (batch*head, q_block) program; streams K/V in block_k tiles.
+
+    Block shapes: q (1, Bq, D), k/v (1, Tk, D), bias (1, Tk) additive.
+    """
+    q = q_ref[0].astype(jnp.float32)  # (Bq, D)
+    scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
+    tk = k_ref.shape[1]
+    nblocks = tk // block_k
+
+    bq = q.shape[0]
+    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        bb = bias_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bb[None, :]  # (Bq, block_k)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m, l, acc))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+# populated lazily so importing this module never requires pallas
+pl = None
+
+
+def _ensure_pallas():
+    global pl
+    if pl is None:
+        from jax.experimental import pallas as _pl
+
+        pl = _pl
+    return pl
+
+
+def _pallas_fwd(q, k, v, bias, *, block_q: int, block_k: int):
+    _ensure_pallas()
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    qr = q.reshape(b * h, tq, d)
+    kr = k.reshape(b * h, tk, d)
+    vr = v.reshape(b * h, tk, d)
+    biasr = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(b * h, tk)
+
+    grid = (b * h, tq // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq), jnp.float32),
+        ],
+    )(qr, kr, vr, biasr)
+    return out.reshape(b, h, tq, d), lse.reshape(b, h, tq)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, bias, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, bias, block_q, block_k)
+    return out
+
+
+def _flash_fwd(q, k, v, bias, block_q, block_k):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    # pad sequence dims to block multiples (padding keys get -inf bias)
+    tq_p, tk_p = _round_up(tq, block_q), _round_up(tk, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    bp = jnp.pad(bias, ((0, 0), (0, tk_p - tk)), constant_values=_NEG_INF)
+    out, lse = _pallas_fwd(qp, kp, vp, bp, block_q=block_q, block_k=block_k)
+    out = out[:, :, :tq, :]
+    lse = lse[:, :, :tq]
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_bwd(block_q, block_k, res, g):
+    q, k, v, bias, out, lse = res
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    gf, of = g.astype(jnp.float32), out.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + bias[:, None, None, :]
+    p = jnp.exp(s - lse[..., None])  # exact softmax from saved lse
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    delta = jnp.sum(of * gf, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """softmax(QK^T/sqrt(d) + mask) V with fused Pallas forward.
+
+    Args:
+      q, k, v: (B, H, T, D).
+      key_padding_mask: (B, Tk) bool, True = pad.
+      use_pallas: force kernel on/off; default = only on TPU backends.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return _xla_attention(q, k, v, key_padding_mask)
+    b, _, _, _ = q.shape
+    tk = k.shape[2]
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, tk), jnp.float32)
+    return _flash(q, k, v, bias, block_q, block_k)

@@ -87,13 +87,27 @@ def make_train_step(
     state replicated; without a mesh it is an ordinary single-device jit.
     """
 
+    cfg = model.cfg
+    frozen_roots = []
+    if not cfg.audio_trainable:
+        frozen_roots.append("audio_encoder")
+    if not (cfg.image_encoder_trainable or cfg.text_encoder_trainable):
+        frozen_roots.append("clip")
+
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = {"dropout": jax.random.fold_in(rng, state.step)}
         rngs["vq"] = jax.random.fold_in(rngs["dropout"], 1)
 
         def loss_fn(params):
+            # frozen towers: cut the parameter cotangents entirely (grads
+            # still flow through *activations*, e.g. into the keywords fed
+            # to the frozen CLIP text tower) - XLA then DCEs the tower
+            # weight-gradient matmuls
+            p = dict(params)
+            for root in frozen_roots:
+                p[root] = jax.lax.stop_gradient(params[root])
             losses, log_metrics, _, new_stats = _forward_and_loss(
-                model, params, state.batch_stats, batch, state.step, rngs, True
+                model, p, state.batch_stats, batch, state.step, rngs, True
             )
             return losses["loss"], (losses, log_metrics, new_stats)
 

@@ -1,0 +1,228 @@
+"""Training/validation driver.
+
+The TPU-native counterpart of the reference's PL Trainer usage
+(`avssl/task/base_task.py:137-215` + the Lightning hooks in
+`avssl/model/kwClip.py:145-482`): step-based fit loop with grad
+accumulation, per-epoch validation with cross-modal retrieval
+(image dedup by id, score matmul, recall@{1,5,10} both directions,
+`kwClip.py:447-482`), metric-monitored orbax checkpoints (top-1 val_loss +
+save_last, top-3 val_recall_mean_10, `base_task.py:174-195`), keyword
+detokenization JSON + PCA artifacts every N epochs (`kwClip.py:295-445`),
+and full-state resume.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..checkpoint import CheckpointManager
+from ..models import KWClip
+from ..ops.retrieval import mutual_retrieval
+from ..parallel import create_train_state, make_eval_step, make_train_step
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.keyword_extraction import KeywordDecoder, extract_keyword_neighbors
+from ..utils.log import MetricsLogger
+from ..utils.visualization import draw_embedding_space_pca
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Trainer"]
+
+
+def _scalar(x) -> float:
+    return float(np.asarray(x))
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: KWClip,
+        variables: Dict,
+        cfg_node,
+        save_path: str,
+        *,
+        devices: int = -1,
+        seed: int = 7122,
+        metrics_logger: Optional[MetricsLogger] = None,
+        tokenizer_decoder: Optional[KeywordDecoder] = None,
+    ):
+        self.model = model
+        self.cfg = cfg_node
+        self.model_cfg = model.cfg
+        self.save_path = save_path
+        self.seed = seed
+        os.makedirs(save_path, exist_ok=True)
+
+        devs = jax.devices()
+        if devices and devices > 0:
+            devs = devs[:devices]
+        self.mesh = make_mesh(devs) if len(devs) > 1 else None
+
+        from ..optim.optimizer import build_optimizer_from_config
+
+        self.tx = build_optimizer_from_config(
+            variables["params"], self.model_cfg, cfg_node
+        )
+        self.state = create_train_state(model, variables, self.tx)
+        self.train_step = make_train_step(model, self.tx, mesh=self.mesh)
+        self.eval_step = make_eval_step(model, mesh=self.mesh)
+
+        trainer_cfg = cfg_node.trainer
+        self.max_steps = int(getattr(trainer_cfg, "max_steps", 50000))
+        self.log_every = int(getattr(trainer_cfg, "log_every_n_steps", 8))
+        self.val_every_epoch = int(getattr(trainer_cfg, "check_val_every_n_epoch", 1))
+        log_setting = getattr(cfg_node, "log_setting", None)
+        self.log_detok = bool(getattr(log_setting, "log_detokenize_results", False))
+        self.detok_every = int(
+            getattr(log_setting, "log_detokenize_results_every_n_epoch", 10) or 10
+        )
+        self.pca_every = int(
+            getattr(log_setting, "log_draw_pca_every_n_epoch", 0) or 0
+        )
+        self.recall_at = tuple(getattr(cfg_node.retrieval, "recall_at", [1, 5, 10]))
+        self.metrics_logger = metrics_logger or MetricsLogger(save_path)
+        self.tokenizer_decoder = tokenizer_decoder
+
+        self.ckpt = CheckpointManager(
+            os.path.join(save_path, "checkpoints"),
+            config=cfg_node.to_dict() if hasattr(cfg_node, "to_dict") else None,
+        )
+        self.epoch = 0
+
+    # ------------------------------------------------------------- fit ----
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        import jax.numpy as jnp
+
+        arr = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            arr = shard_batch(arr, self.mesh)
+        return arr
+
+    def resume(self, ckpt_dir: str) -> None:
+        """Restore full fit state (params, opt state, step) from an orbax dir
+        (reference `--resume`, `base_task.py:60-61,206,211`)."""
+        mgr = CheckpointManager(ckpt_dir)
+        self.state = mgr.restore(self.state)
+        logger.info("Resumed from %s at step %d", ckpt_dir, int(self.state.step))
+
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+    ) -> None:
+        rng = jax.random.PRNGKey(self.seed)
+        t0 = time.time()
+        while int(self.state.step) < self.max_steps:
+            for batch in train_loader:
+                step = int(self.state.step)
+                if step >= self.max_steps:
+                    break
+                self.state, metrics = self.train_step(
+                    self.state, self._device_batch(batch), rng
+                )
+                if step % self.log_every == 0:
+                    row = {k: _scalar(v) for k, v in metrics.items()
+                           if np.asarray(v).ndim == 0}
+                    row["steps_per_sec"] = (
+                        self.log_every / max(time.time() - t0, 1e-9) if step else 0.0
+                    )
+                    t0 = time.time()
+                    self.metrics_logger.log(row, step)
+            self.epoch += 1
+            if val_loader is not None and self.epoch % self.val_every_epoch == 0:
+                val_metrics = self.validate(val_loader)
+                self.ckpt.save(int(self.state.step), self.state, val_metrics)
+        if val_loader is not None:
+            val_metrics = self.validate(val_loader)
+            self.ckpt.save(int(self.state.step), self.state, val_metrics)
+
+    # ------------------------------------------------------- validation ----
+
+    def validate(self, val_loader: Iterable) -> Dict[str, float]:
+        all_out = []
+        agg: Dict[str, list] = {}
+        for batch in val_loader:
+            metrics, out = self.eval_step(self.state, self._device_batch(batch))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            valid = out.get("valid")
+            if valid is not None:
+                out = {
+                    k: v[valid] if v.ndim >= 1 and v.shape[0] == valid.shape[0] else v
+                    for k, v in out.items()
+                }
+            all_out.append(out)
+            for k, v in metrics.items():
+                if np.asarray(v).ndim == 0:
+                    agg.setdefault(k, []).append(_scalar(v))
+
+        val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+
+        # ---- retrieval (reference kwClip.py:447-482) ----
+        ids = np.concatenate([o["id"] for o in all_out])
+        audio_feats = np.concatenate([o["audio_feat"] for o in all_out])
+        image_feats = np.concatenate([o["image_feat"] for o in all_out])
+        # dedup images by id (5 captions per image)
+        uniq_ids, first_idx = np.unique(ids, return_index=True)
+        gallery = image_feats[first_idx]
+        scores = audio_feats.astype(np.float32) @ gallery.astype(np.float32).T
+        r_ai, r_ia, r_mean = mutual_retrieval(
+            scores, scores.T, ids, uniq_ids, self.recall_at
+        )
+        for k, v in r_ai.items():
+            val_metrics[f"val_recall_AI_{k}"] = v
+        for k, v in r_ia.items():
+            val_metrics[f"val_recall_IA_{k}"] = v
+        for k, v in r_mean.items():
+            val_metrics[f"val_recall_mean_{k}"] = v
+        val_metrics["val_recall_mean_10"] = r_mean.get(
+            "recall@10", max(r_mean.values())
+        )
+        logger.info(
+            "val: loss=%.4f recall@1/5/10 A->I %s I->A %s mean %s",
+            val_metrics.get("val_loss", float("nan")), r_ai, r_ia, r_mean,
+        )
+
+        # ---- keyword artifacts (reference kwClip.py:295-445) ----
+        has_keywords = any("keywords" in o for o in all_out)
+        if has_keywords and self.log_detok and self.epoch % self.detok_every == 0:
+            self._dump_keyword_artifacts(all_out)
+
+        self.metrics_logger.log(val_metrics, int(self.state.step))
+        return val_metrics
+
+    def _dump_keyword_artifacts(self, all_out) -> None:
+        os.makedirs(os.path.join(self.save_path, "retokenizeText"), exist_ok=True)
+        os.makedirs(os.path.join(self.save_path, "visualization"), exist_ok=True)
+        kws = np.concatenate([o["keywords"] for o in all_out if "keywords" in o])
+        lens = None
+        if all("keywords_len" in o for o in all_out):
+            lens = np.concatenate([o["keywords_len"] for o in all_out])
+        token_emb = np.asarray(
+            self.state.params["clip"]["text"]["token_embedding"]["embedding"]
+        )
+        if self.pca_every > 0 and self.epoch % self.pca_every == 0:
+            draw_embedding_space_pca(
+                kws, token_emb,
+                os.path.join(self.save_path, "visualization",
+                             f"pca_ep{self.epoch}.pdf"),
+            )
+        if self.tokenizer_decoder is not None:
+            neighbors = extract_keyword_neighbors(
+                kws, token_emb,
+                gold_texts=[""] * len(kws),
+                decoder=self.tokenizer_decoder,
+                K=5,
+                keyword_lengths=lens,
+            )
+            with open(
+                os.path.join(self.save_path, "retokenizeText",
+                             f"keywords_ep{self.epoch}.json"), "w",
+            ) as f:
+                json.dump(neighbors, f, indent=4)

@@ -1,0 +1,10 @@
+"""Utilities: logging, text metrics, keyword detokenization, PCA viz,
+penalty scheduler."""
+from .keyword_extraction import (  # noqa: F401
+    KeywordDecoder,
+    extract_keyword_neighbors,
+    keyword_retrieval_scores,
+)
+from .log import MetricsLogger, set_logging, set_metrics_logger  # noqa: F401
+from .metric import cer, per, report_bleu, ter, wer  # noqa: F401
+from .penalty_scheduler import PenaltyScheduler  # noqa: F401

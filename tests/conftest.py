@@ -8,11 +8,19 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment may preset JAX_PLATFORMS=axon (a remote
+# single-TPU tunnel) which cannot host the 8-device mesh and serializes
+# concurrent test runs
+os.environ["JAX_PLATFORMS"] = "cpu"
 # keep tests deterministic and quiet
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
+
+# the ambient axon TPU plugin clobbers JAX_PLATFORMS during `import jax`;
+# re-force the CPU platform through the config API (must run before any
+# backend is initialized)
+jax.config.update("jax_platforms", "cpu")
 
 # golden tests compare against torch f32; use full-precision matmuls
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -144,22 +144,20 @@ def test_train_step_grads_only_touch_trainable():
     (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     assert np.isfinite(float(loss))
 
-    # frozen towers receive zero gradient via stop_gradient
-    g_audio = jax.tree_util.tree_reduce(
-        lambda a, x: a + float(jnp.abs(x).sum()), grads["audio_encoder"], 0.0
-    )
-    assert g_audio == 0.0, "frozen HuBERT must get no gradient"
-    g_visual = jax.tree_util.tree_reduce(
-        lambda a, x: a + float(jnp.abs(x).sum()), grads["clip"]["visual"], 0.0
-    )
-    assert g_visual == 0.0, "frozen CLIP image tower must get no gradient"
+    # frozen towers receive zero gradient via stop_gradient; one fused norm
+    # per subtree keeps this cheap on the 1-core CI host
+    import optax
 
-    # trainable pieces do get gradient
-    assert float(jnp.abs(grads["weightedsum"]).sum()) > 0
-    g_branch = jax.tree_util.tree_reduce(
-        lambda a, x: a + float(jnp.abs(x).sum()), grads["cascaded_branch"], 0.0
-    )
-    assert g_branch > 0
+    norms = jax.jit(lambda g: {
+        "audio": optax.global_norm(g["audio_encoder"]),
+        "visual": optax.global_norm(g["clip"]["visual"]),
+        "ws": optax.global_norm(g["weightedsum"]),
+        "branch": optax.global_norm(g["cascaded_branch"]),
+    })(grads)
+    assert float(norms["audio"]) == 0.0, "frozen HuBERT must get no gradient"
+    assert float(norms["visual"]) == 0.0, "frozen CLIP image tower must get no gradient"
+    assert float(norms["ws"]) > 0
+    assert float(norms["branch"]) > 0
     assert float(jnp.abs(grads["criterion_log_inv_temp"])) > 0
 
     # BN running stats updated
