@@ -36,6 +36,14 @@ __all__ = [
 ]
 
 
+def stack_layer_params(per_layer: list) -> Dict:
+    """List of per-layer param trees -> one tree with a leading layer axis
+    (the layout `nn.scan(variable_axes={"params": 0})` expects)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *per_layer)
+
+
 def materialize_weight_norm(g: np.ndarray, v: np.ndarray, dim: int = 2) -> np.ndarray:
     """torch weight_norm(w, dim): w = g * v / ||v|| with the norm taken over
     every axis except `dim` (fairseq pos_conv uses dim=2 = kernel axis)."""
@@ -94,9 +102,10 @@ def fairseq_hubert_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
     }
     if f"{p}post_extract_proj.weight" in sd:
         params["post_extract_proj"] = t2j_dense(sd, f"{p}post_extract_proj.")
+    layers = []
     for i in range(cfg.n_layers):
         lp = f"{p}encoder.layers.{i}."
-        params[f"layers_{i}"] = {
+        layers.append({
             "q_proj": t2j_dense(sd, f"{lp}self_attn.q_proj."),
             "k_proj": t2j_dense(sd, f"{lp}self_attn.k_proj."),
             "v_proj": t2j_dense(sd, f"{lp}self_attn.v_proj."),
@@ -105,7 +114,12 @@ def fairseq_hubert_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
             "fc1": t2j_dense(sd, f"{lp}fc1."),
             "fc2": t2j_dense(sd, f"{lp}fc2."),
             "final_layer_norm": t2j_layernorm(sd, f"{lp}final_layer_norm."),
-        }
+        })
+    if getattr(cfg, "scan_layers", False):
+        params["layers"] = {"layer": stack_layer_params(layers)}
+    else:
+        for i, l in enumerate(layers):
+            params[f"layers_{i}"] = l
     return params
 
 
@@ -130,9 +144,10 @@ def hf_hubert_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
         "pos_conv": {"conv": _pos_conv_kernel(sd, f"{p}encoder.pos_conv_embed.conv.")},
         "encoder_layer_norm": t2j_layernorm(sd, f"{p}encoder.layer_norm."),
     }
+    layers = []
     for i in range(cfg.n_layers):
         lp = f"{p}encoder.layers.{i}."
-        params[f"layers_{i}"] = {
+        layers.append({
             "q_proj": t2j_dense(sd, f"{lp}attention.q_proj."),
             "k_proj": t2j_dense(sd, f"{lp}attention.k_proj."),
             "v_proj": t2j_dense(sd, f"{lp}attention.v_proj."),
@@ -141,7 +156,12 @@ def hf_hubert_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
             "fc1": t2j_dense(sd, f"{lp}feed_forward.intermediate_dense."),
             "fc2": t2j_dense(sd, f"{lp}feed_forward.output_dense."),
             "final_layer_norm": t2j_layernorm(sd, f"{lp}final_layer_norm."),
-        }
+        })
+    if getattr(cfg, "scan_layers", False):
+        params["layers"] = {"layer": stack_layer_params(layers)}
+    else:
+        for i, l in enumerate(layers):
+            params[f"layers_{i}"] = l
     return params
 
 
@@ -156,18 +176,24 @@ def hubert_config_from_fairseq_sd(sd: Mapping, prefix: str = ""):
 # ------------------------------------------------------------------ CLIP ----
 
 
-def _clip_blocks(sd: Mapping, prefix: str, n_layers: int) -> Dict:
-    out = {}
+def _pack_clip_blocks(blocks: list, scan_layers: bool) -> Dict:
+    if scan_layers:
+        return {"blocks": {"block": stack_layer_params(blocks)}}
+    return {f"resblocks_{i}": b for i, b in enumerate(blocks)}
+
+
+def _clip_blocks(sd: Mapping, prefix: str, n_layers: int, scan_layers: bool) -> Dict:
+    blocks = []
     for i in range(n_layers):
         bp = f"{prefix}resblocks.{i}."
-        out[f"resblocks_{i}"] = {
+        blocks.append({
             "attn": t2j_mha(sd, f"{bp}attn."),
             "ln_1": t2j_layernorm(sd, f"{bp}ln_1."),
             "ln_2": t2j_layernorm(sd, f"{bp}ln_2."),
             "c_fc": t2j_dense(sd, f"{bp}mlp.c_fc."),
             "c_proj": t2j_dense(sd, f"{bp}mlp.c_proj."),
-        }
-    return out
+        })
+    return _pack_clip_blocks(blocks, scan_layers)
 
 
 def openai_clip_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
@@ -180,22 +206,26 @@ def openai_clip_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
         "class_embedding": _np(sd[f"{p}visual.class_embedding"]),
         "positional_embedding": _np(sd[f"{p}visual.positional_embedding"]),
         "ln_pre": t2j_layernorm(sd, f"{p}visual.ln_pre."),
-        "transformer": _clip_blocks(sd, f"{p}visual.transformer.", cfg.vision_layers),
+        "transformer": _clip_blocks(
+            sd, f"{p}visual.transformer.", cfg.vision_layers, cfg.scan_layers
+        ),
         "ln_post": t2j_layernorm(sd, f"{p}visual.ln_post."),
         "proj": _np(sd[f"{p}visual.proj"]),
     }
     text = {
         "token_embedding": {"embedding": _np(sd[f"{p}token_embedding.weight"])},
         "positional_embedding": _np(sd[f"{p}positional_embedding"]),
-        "transformer": _clip_blocks(sd, f"{p}transformer.", cfg.text_layers),
+        "transformer": _clip_blocks(
+            sd, f"{p}transformer.", cfg.text_layers, cfg.scan_layers
+        ),
         "ln_final": t2j_layernorm(sd, f"{p}ln_final."),
         "text_projection": _np(sd[f"{p}text_projection"]),
     }
     return {"visual": visual, "text": text, "logit_scale": _np(sd[f"{p}logit_scale"])}
 
 
-def _hf_clip_blocks(sd: Mapping, prefix: str, n_layers: int) -> Dict:
-    out = {}
+def _hf_clip_blocks(sd: Mapping, prefix: str, n_layers: int, scan_layers: bool) -> Dict:
+    blocks = []
     for i in range(n_layers):
         bp = f"{prefix}layers.{i}."
         qw = _np(sd[f"{bp}self_attn.q_proj.weight"])
@@ -204,7 +234,7 @@ def _hf_clip_blocks(sd: Mapping, prefix: str, n_layers: int) -> Dict:
         qb = _np(sd[f"{bp}self_attn.q_proj.bias"])
         kb = _np(sd[f"{bp}self_attn.k_proj.bias"])
         vb = _np(sd[f"{bp}self_attn.v_proj.bias"])
-        out[f"resblocks_{i}"] = {
+        blocks.append({
             "attn": {
                 "in_proj": {
                     "kernel": np.concatenate([qw, kw, vw], axis=0).T,
@@ -216,8 +246,8 @@ def _hf_clip_blocks(sd: Mapping, prefix: str, n_layers: int) -> Dict:
             "ln_2": t2j_layernorm(sd, f"{bp}layer_norm2."),
             "c_fc": t2j_dense(sd, f"{bp}mlp.fc1."),
             "c_proj": t2j_dense(sd, f"{bp}mlp.fc2."),
-        }
-    return out
+        })
+    return _pack_clip_blocks(blocks, scan_layers)
 
 
 def hf_clip_to_flax(sd: Mapping, cfg) -> Dict:
@@ -229,14 +259,18 @@ def hf_clip_to_flax(sd: Mapping, cfg) -> Dict:
         "class_embedding": _np(sd["vision_model.embeddings.class_embedding"]),
         "positional_embedding": _np(sd["vision_model.embeddings.position_embedding.weight"]),
         "ln_pre": t2j_layernorm(sd, "vision_model.pre_layrnorm."),
-        "transformer": _hf_clip_blocks(sd, "vision_model.encoder.", cfg.vision_layers),
+        "transformer": _hf_clip_blocks(
+            sd, "vision_model.encoder.", cfg.vision_layers, cfg.scan_layers
+        ),
         "ln_post": t2j_layernorm(sd, "vision_model.post_layernorm."),
         "proj": _np(sd["visual_projection.weight"]).T,
     }
     text = {
         "token_embedding": {"embedding": _np(sd["text_model.embeddings.token_embedding.weight"])},
         "positional_embedding": _np(sd["text_model.embeddings.position_embedding.weight"]),
-        "transformer": _hf_clip_blocks(sd, "text_model.encoder.", cfg.text_layers),
+        "transformer": _hf_clip_blocks(
+            sd, "text_model.encoder.", cfg.text_layers, cfg.scan_layers
+        ),
         "ln_final": t2j_layernorm(sd, "text_model.final_layer_norm."),
         "text_projection": _np(sd["text_projection.weight"]).T,
     }

@@ -51,6 +51,10 @@ class ClipConfig:
     # reduced-vocab special ids (identity mapping when vocab is full)
     sot_id: int = 49406
     eot_id: int = 49407
+    # compile each tower's block stack as one lax.scan over stacked params
+    # (param tree: transformer/blocks/block/... with a leading layer axis)
+    scan_layers: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -111,14 +115,44 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
-class Transformer(nn.Module):
+class _ScanBlock(nn.Module):
     width: int
-    layers: int
     heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
+    def __call__(self, carry, attn_bias):
+        y = ResidualAttentionBlock(
+            self.width, self.heads, dtype=self.dtype, name="block"
+        )(carry, attn_bias)
+        return y, None
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    scan_layers: bool = True
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None):
+        if self.scan_layers:
+            body = _ScanBlock
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=self.layers,
+            )(self.width, self.heads, dtype=self.dtype, name="blocks")
+            if attn_bias is None:
+                attn_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            x, _ = scanned(x, attn_bias)
+            return x
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
@@ -160,7 +194,8 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(c.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
         x = Transformer(
-            c.vision_width, c.vision_layers, c.vision_heads, dtype=c.dtype,
+            c.vision_width, c.vision_layers, c.vision_heads,
+            scan_layers=c.scan_layers, remat=c.remat, dtype=c.dtype,
             name="transformer",
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0, :])
@@ -188,7 +223,8 @@ class TextTransformer(nn.Module):
             (c.context_length, c.text_width),
         )
         self.transformer = Transformer(
-            c.text_width, c.text_layers, c.text_heads, dtype=c.dtype,
+            c.text_width, c.text_layers, c.text_heads,
+            scan_layers=c.scan_layers, remat=c.remat, dtype=c.dtype,
             name="transformer",
         )
         self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")

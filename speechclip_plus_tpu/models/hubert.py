@@ -73,6 +73,13 @@ class HubertConfig:
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.0
+    # compile the layer stack as one lax.scan over stacked params (L, ...):
+    # ~L-times smaller HLO, same math. Param tree: layers/layer/... instead
+    # of layers_{i}/...
+    scan_layers: bool = True
+    # rematerialize each layer in the backward pass (memory-for-FLOPs trade;
+    # irrelevant while the tower is frozen, useful when fine-tuning)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -220,6 +227,20 @@ class PositionalConvEmbedding(nn.Module):
         return nn.gelu(out, approximate=False)
 
 
+class _ScanHubertLayer(nn.Module):
+    """scan body: (carry, broadcast bias) -> (new carry, per-layer output)."""
+
+    cfg: HubertConfig
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, key_padding_bias):
+        y = HubertEncoderLayer(self.cfg, name="layer")(
+            carry, key_padding_bias, deterministic=self.deterministic
+        )
+        return y, y
+
+
 class HubertEncoderLayer(nn.Module):
     """fairseq TransformerSentenceEncoderLayer (separate q/k/v projections)."""
 
@@ -326,15 +347,31 @@ class HubertModel(nn.Module):
                 feat_padding_mask[:, None, None, :], -1e30, 0.0
             ).astype(jnp.float32)
 
-        hidden = [x]
-        for i in range(c.n_layers):
-            x = HubertEncoderLayer(c, name=f"layers_{i}")(
-                x, key_padding_bias, deterministic=deterministic
-            )
-            hidden.append(x)
+        if c.scan_layers:
+            body = _ScanHubertLayer
+            if c.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=c.n_layers,
+            )(c, deterministic, name="layers")
+            x_final, layer_outs = scanned(x, key_padding_bias)
+            hidden_states = jnp.concatenate([x[None], layer_outs], axis=0)
+            x = x_final
+        else:
+            hidden = [x]
+            for i in range(c.n_layers):
+                x = HubertEncoderLayer(c, name=f"layers_{i}")(
+                    x, key_padding_bias, deterministic=deterministic
+                )
+                hidden.append(x)
+            hidden_states = jnp.stack(hidden, axis=0)
 
         return {
             "x": x,
-            "hidden_states": jnp.stack(hidden, axis=0),  # (L+1, B, T', D)
+            "hidden_states": hidden_states,  # (L+1, B, T', D)
             "padding_mask": feat_padding_mask,
         }
