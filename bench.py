@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 WAV_LEN = int(os.environ.get("BENCH_WAV_LEN", "102400"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -61,11 +61,13 @@ def bench_tpu() -> float:
 
     # warmup / compile
     state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["train_loss"])
+    _ = float(metrics["train_loss"])
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["train_loss"])
+        # force a host sync on the step's loss every iteration: on remote
+        # backends block_until_ready alone does not reliably drain the queue
+        _ = float(metrics["train_loss"])
     dt = time.perf_counter() - t0
     n_dev = 1  # single-chip bench; the step itself is mesh-scalable
     return BATCH * STEPS / dt / n_dev

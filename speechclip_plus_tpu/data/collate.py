@@ -54,6 +54,10 @@ def collate_batch(
         out["wav_len"] = lens
     if "image" in samples[0]:
         out["image"] = np.stack([s["image"] for s in samples]).astype(np.float32)
+    if "image_feat" in samples[0]:
+        out["image_feat"] = np.stack(
+            [s["image_feat"] for s in samples]
+        ).astype(np.float32)
     if "text" in samples[0] and not isinstance(samples[0]["text"], str):
         out["text"] = np.stack([np.asarray(s["text"], np.int32) for s in samples])
     if "id" in samples[0]:

@@ -400,13 +400,26 @@ class KWClip(nn.Module):
             return feat, feat_len, hidden
         return feat, feat_len
 
-    def encode_image(self, image: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def encode_image_raw(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Frozen CLIP image features before projection/normalization —
+        the cacheable quantity (the tower is frozen, so these are constant
+        across training; see `tasks/trainer.py` image-embedding cache)."""
         feat = self.clip.encode_image(image)
         if not self.cfg.image_encoder_trainable:
             feat = jax.lax.stop_gradient(feat)
+        return feat
+
+    def project_image_feat(
+        self, feat: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         if self.img_enc_proj_net is not None:
             feat = self.img_enc_proj_net(feat, deterministic=deterministic)
         return _l2norm(feat)
+
+    def encode_image(self, image: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.project_image_feat(
+            self.encode_image_raw(image), deterministic=deterministic
+        )
 
     # --------------------------------------------------------- forward ----
 
@@ -424,13 +437,21 @@ class KWClip(nn.Module):
         if deterministic is None:
             deterministic = not training
         wav, wav_len = batch["wav"], batch["wav_len"]
-        image = batch["image"]
+        image = batch.get("image")
         ids = batch["id"]
 
         audio_feat, audio_feat_len = self.forward_audio(
             wav, wav_len, batch.get("wav_padding_mask"), deterministic=deterministic
         )
-        image_feat = self.encode_image(image, deterministic=deterministic)
+        if "image_feat" in batch and batch["image_feat"] is not None:
+            # precomputed frozen image-tower output (trainer-side cache);
+            # the trainable projection + normalize still run in-step
+            image_feat = self.project_image_feat(
+                jax.lax.stop_gradient(batch["image_feat"]),
+                deterministic=deterministic,
+            )
+        else:
+            image_feat = self.encode_image(image, deterministic=deterministic)
 
         target_len = None
         if c.branch_type.endswith("_plus"):
@@ -616,6 +637,27 @@ class KWClip(nn.Module):
             "keywords": output.get("keywords"),
             "dsample_results": output.get("dsample_results"),
         }
+
+    def forward_text(self, text_ids: jnp.ndarray) -> jnp.ndarray:
+        """Frozen CLIP text features from (reduced-id) token sequences
+        (reference `forward_text`, `kwClip.py:509-527`; the original->reduced
+        id mapping is host-side, `data.tokenizer.ClipTextProcessor`)."""
+        return self.clip.encode_text(text_ids)
+
+    def get_attention_map(
+        self, wav: jnp.ndarray, wav_len: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Keyword-CLS attention weights over the audio frames for
+        visualization (reference `getAttentionMap`,
+        `kw_branches.py:384-447`; fixed-K cascaded branch only)."""
+        audio_feat, audio_feat_len = self.forward_audio(wav, wav_len)
+        if self.cascaded_branch is None or not hasattr(
+            self.cascaded_branch, "get_attention_map"
+        ):
+            raise NotImplementedError(
+                "attention maps require a fixed-K cascaded branch"
+            )
+        return self.cascaded_branch.get_attention_map(audio_feat, audio_feat_len)
 
     def feature_extractor(
         self, wav: jnp.ndarray, wav_len: jnp.ndarray

@@ -140,11 +140,33 @@ class TrainSpeechClipBaseTask(BaseTask):
         dev_batch_size = int(getattr(cfg.data, "dev_batch_size", batch_size))
         max_audio_len = int(getattr(cfg.audio_encoder, "max_audio_len", -1))
 
+        cache_images = bool(
+            getattr(cfg.data, "cache_image_embeddings", False)
+        ) and not model_cfg.image_encoder_trainable
+
+        def _maybe_cache(ds):
+            if not cache_images:
+                return ds
+            from ..data.image_cache import (
+                CachedImageDataset,
+                precompute_image_embeddings,
+            )
+
+            feats = precompute_image_embeddings(
+                trainer.model, {"params": trainer.state.params,
+                                "batch_stats": trainer.state.batch_stats}, ds,
+            )
+            return CachedImageDataset(ds, feats)
+
         if args.train:
-            train_set = _build_dataset(cfg, "train", tokenizer, model_cfg.clip.image_resolution)
-            dev_set = _build_dataset(cfg, "dev" if cfg.data.dataset.name == "flickr"
-                                     else "val", tokenizer,
-                                     model_cfg.clip.image_resolution)
+            train_set = _maybe_cache(
+                _build_dataset(cfg, "train", tokenizer, model_cfg.clip.image_resolution)
+            )
+            dev_set = _maybe_cache(
+                _build_dataset(cfg, "dev" if cfg.data.dataset.name == "flickr"
+                               else "val", tokenizer,
+                               model_cfg.clip.image_resolution)
+            )
             train_loader = BucketedLoader(
                 train_set, batch_size, shuffle=True, drop_last=True,
                 max_audio_len=max_audio_len, train=True, seed=args.seed,
@@ -159,7 +181,9 @@ class TrainSpeechClipBaseTask(BaseTask):
             split = "test" if args.test else (
                 "dev" if cfg.data.dataset.name == "flickr" else "val"
             )
-            eval_set = _build_dataset(cfg, split, tokenizer, model_cfg.clip.image_resolution)
+            eval_set = _maybe_cache(
+                _build_dataset(cfg, split, tokenizer, model_cfg.clip.image_resolution)
+            )
             eval_loader = BucketedLoader(
                 eval_set, dev_batch_size, shuffle=False, drop_last=False,
                 prefetch=max(args.njobs, 1),

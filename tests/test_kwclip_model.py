@@ -184,3 +184,26 @@ def test_encode_speech_and_feature_extractor():
     # hubert L+1 states + branch states (MultiheadAttentionAndNorm adds 1)
     assert len(hidden) == (cfg.audio.n_layers + 1) + 1
     assert last.shape[0] == 4
+
+
+def test_attention_map_and_forward_text():
+    cfg = tiny_cfg("CascadedBranch", parallel_w=0.0, cascaded_w=1.0)
+    model = KWClip(cfg)
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, training=False)
+
+    amap = model.apply(
+        variables, batch["wav"], batch["wav_len"], method=KWClip.get_attention_map
+    )
+    B = batch["wav"].shape[0]
+    K = cfg.head.keyword_num
+    assert amap.shape[0] == B and amap.shape[2] == K
+    # rows are attention distributions
+    np.testing.assert_allclose(
+        np.asarray(amap).sum(-1), np.ones(amap.shape[:-1]), rtol=1e-4
+    )
+
+    ids = np.asarray(batch["text"])[:, : cfg.clip.context_length]
+    feats = model.apply(variables, jnp.asarray(ids), method=KWClip.forward_text)
+    assert feats.shape == (B, cfg.clip.embed_dim)

@@ -201,3 +201,43 @@ def test_cli_train_eval_roundtrip(tiny_world, monkeypatch):
     runner2.parse_args(p2)
     trainer2 = runner2.run()
     assert int(trainer2.state.step) == 4  # restored full state
+
+
+def test_image_embedding_cache_matches_live_path(tiny_world):
+    """Cached frozen image embeddings must reproduce the live image-tower
+    path bit-for-bit through the loss features."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechclip_plus_tpu.config import load_config
+    from speechclip_plus_tpu.data import BucketedLoader
+    from speechclip_plus_tpu.data.image_cache import (
+        CachedImageDataset,
+        precompute_image_embeddings,
+    )
+    from speechclip_plus_tpu.tasks import build_model_from_config
+    from speechclip_plus_tpu.tasks.base_task import _build_dataset
+
+    tmp_path, cfg_path = tiny_world
+    cfg = load_config(str(cfg_path))
+    model, variables, model_cfg, _ = build_model_from_config(cfg, seed=0)
+
+    ds = _build_dataset(cfg, "train", None, model_cfg.clip.image_resolution)
+    loader = BucketedLoader(ds, 4, shuffle=False, drop_last=False,
+                            buckets=(4000,), prefetch=1)
+    batch_live = next(iter(loader))
+
+    feats = precompute_image_embeddings(model, variables, ds, batch_size=4)
+    cached = CachedImageDataset(ds, feats)
+    loader_c = BucketedLoader(cached, 4, shuffle=False, drop_last=False,
+                              buckets=(4000,), prefetch=1)
+    batch_cached = next(iter(loader_c))
+    assert "image" not in batch_cached and "image_feat" in batch_cached
+
+    to_j = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    lf_live, _, _ = model.apply(variables, to_j(batch_live), training=False)
+    lf_cached, _, _ = model.apply(variables, to_j(batch_cached), training=False)
+    np.testing.assert_allclose(
+        np.asarray(lf_live["image_feat"]), np.asarray(lf_cached["image_feat"]),
+        rtol=1e-5, atol=1e-6,
+    )
