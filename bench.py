@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WAV_LEN = int(os.environ.get("BENCH_WAV_LEN", "102400"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

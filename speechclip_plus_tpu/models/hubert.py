@@ -241,6 +241,37 @@ class _ScanHubertLayer(nn.Module):
         return y, y
 
 
+class _ScanHubertLayerFused(nn.Module):
+    """scan body with the weighted sum fused into the carry: the (L+1,B,T,D)
+    hidden-state stack never materializes (it is ~3 GB at batch 256 for the
+    base tower). Carry = (x, acc); the per-layer softmax weight is a scanned
+    input. `normalize_contrib` applies the s3prl-style parameter-free layer
+    norm to each hidden state before weighting (`weighted_sum.py` semantics).
+    """
+
+    cfg: HubertConfig
+    deterministic: bool = True
+    normalize_contrib: bool = False
+    stop_contrib_gradient: bool = False
+
+    @nn.compact
+    def __call__(self, carry, w_i, key_padding_bias):
+        x, acc = carry
+        y = HubertEncoderLayer(self.cfg, name="layer")(
+            x, key_padding_bias, deterministic=self.deterministic
+        )
+        contrib = y.astype(jnp.float32)
+        if self.normalize_contrib:
+            mean = contrib.mean(axis=-1, keepdims=True)
+            var = contrib.var(axis=-1, keepdims=True)
+            contrib = (contrib - mean) * jax.lax.rsqrt(var + 1e-5)
+        if self.stop_contrib_gradient:
+            # frozen tower: weights still get gradient (w_i * sg(h_i)),
+            # tower params get zero cotangents
+            contrib = jax.lax.stop_gradient(contrib)
+        return (y, acc + w_i * contrib), None
+
+
 class HubertEncoderLayer(nn.Module):
     """fairseq TransformerSentenceEncoderLayer (separate q/k/v projections)."""
 
@@ -313,6 +344,9 @@ class HubertModel(nn.Module):
         wav: jnp.ndarray,
         wav_padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        layer_weights: Optional[jnp.ndarray] = None,
+        normalize_contrib: bool = False,
+        stop_contrib_gradient: bool = False,
     ) -> dict:
         c = self.cfg
         feats = ConvFeatureExtractor(c, name="feature_extractor")(wav)  # (B,T',512)
@@ -347,6 +381,34 @@ class HubertModel(nn.Module):
                 feat_padding_mask[:, None, None, :], -1e30, 0.0
             ).astype(jnp.float32)
 
+        if c.scan_layers and layer_weights is not None:
+            # fused weighted-sum path: never materialize the hidden stack
+            w = layer_weights.astype(jnp.float32)
+            x0 = x.astype(jnp.float32)
+            if normalize_contrib:
+                mean = x0.mean(axis=-1, keepdims=True)
+                var = x0.var(axis=-1, keepdims=True)
+                x0 = (x0 - mean) * jax.lax.rsqrt(var + 1e-5)
+            if stop_contrib_gradient:
+                x0 = jax.lax.stop_gradient(x0)
+            acc = w[0] * x0
+            body = _ScanHubertLayerFused
+            if c.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast),
+                length=c.n_layers,
+            )(c, deterministic, normalize_contrib, stop_contrib_gradient,
+              name="layers")
+            (x_final, acc), _ = scanned((x, acc), w[1:], key_padding_bias)
+            return {
+                "x": x_final,
+                "weighted_sum": acc,
+                "padding_mask": feat_padding_mask,
+            }
         if c.scan_layers:
             body = _ScanHubertLayer
             if c.remat:

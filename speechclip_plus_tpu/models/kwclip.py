@@ -362,6 +362,33 @@ class KWClip(nn.Module):
             wav_padding_mask = (
                 jnp.arange(wav.shape[1])[None, :] >= wav_len[:, None]
             )
+        fused_ws = (
+            c.feat_select_idx == "weighted_sum"
+            and not return_hidden_states
+            and c.audio.scan_layers
+            and not (c.normalize_hiddenstates and c.normalize_type.startswith("method"))
+        )
+        if fused_ws:
+            # weighted sum accumulated inside the layer scan: the (L+1,B,T,D)
+            # hidden stack never materializes (HBM win at large batch)
+            w = jax.nn.softmax(self.hidden_weights.astype(jnp.float32))
+            out = self.audio_encoder(
+                wav,
+                wav_padding_mask,
+                deterministic=deterministic,
+                layer_weights=w,
+                normalize_contrib=c.normalize_hiddenstates
+                and c.normalize_type == "s3prl",
+                stop_contrib_gradient=not c.audio_trainable,
+            )
+            feat = out["weighted_sum"]
+            feat_len = jnp.minimum(
+                jnp.round(
+                    wav_len.astype(jnp.float32) / c.audio.downsample_rate
+                ).astype(jnp.int32),
+                feat.shape[1],
+            )
+            return feat, feat_len
         out = self.audio_encoder(
             wav, wav_padding_mask, deterministic=deterministic
         )

@@ -162,6 +162,8 @@ def make_eval_step(model: KWClip, mesh=None) -> Callable:
             out["keywords"] = others["keywords"]
         if others.get("keywords_len") is not None:
             out["keywords_len"] = others["keywords_len"]
+        if "text" in batch:
+            out["text"] = batch["text"]  # gold captions for detokenization
         if "valid" in batch:
             out["valid"] = batch["valid"]
         metrics = {f"val_{k}": v for k, v in losses.items()}

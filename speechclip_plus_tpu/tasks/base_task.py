@@ -115,13 +115,16 @@ class TrainSpeechClipBaseTask(BaseTask):
             logger.info("Loaded Lightning checkpoint %s", args.ckpt)
 
         decoder = None
+        text_processor = None
         if tokenizer is not None:
+            from ..data.tokenizer import ClipTextProcessor
             from ..utils.keyword_extraction import KeywordDecoder
 
             decoder = KeywordDecoder(
                 tokenizer.decoder,
                 vocab.reduced2original if vocab is not None else None,
             )
+            text_processor = ClipTextProcessor(tokenizer, vocab)
 
         save_path = args.save_path
         metrics_logger = set_metrics_logger(
@@ -132,6 +135,7 @@ class TrainSpeechClipBaseTask(BaseTask):
             model, variables, cfg, save_path,
             devices=args.devices, seed=args.seed,
             metrics_logger=metrics_logger, tokenizer_decoder=decoder,
+            text_processor=text_processor,
         )
         if args.resume:
             trainer.resume(args.resume)

@@ -51,6 +51,7 @@ class Trainer:
         seed: int = 7122,
         metrics_logger: Optional[MetricsLogger] = None,
         tokenizer_decoder: Optional[KeywordDecoder] = None,
+        text_processor=None,  # data.tokenizer.ClipTextProcessor for gold text
     ):
         self.model = model
         self.cfg = cfg_node
@@ -88,6 +89,7 @@ class Trainer:
         self.recall_at = tuple(getattr(cfg_node.retrieval, "recall_at", [1, 5, 10]))
         self.metrics_logger = metrics_logger or MetricsLogger(save_path)
         self.tokenizer_decoder = tokenizer_decoder
+        self.text_processor = text_processor
 
         self.ckpt = CheckpointManager(
             os.path.join(save_path, "checkpoints"),
@@ -214,9 +216,20 @@ class Trainer:
                              f"pca_ep{self.epoch}.pdf"),
             )
         if self.tokenizer_decoder is not None:
+            gold_texts = [""] * len(kws)
+            if self.text_processor is not None and all(
+                "text" in o for o in all_out
+            ):
+                # gold captions: decode the original-id token rows
+                # (reference kwClip.py:379-387; text is in original-id space)
+                texts = np.concatenate([o["text"] for o in all_out])
+                gold_texts = [
+                    self.text_processor.tokenizer.decode(row)
+                    for row in texts
+                ]
             neighbors = extract_keyword_neighbors(
                 kws, token_emb,
-                gold_texts=[""] * len(kws),
+                gold_texts=gold_texts,
                 decoder=self.tokenizer_decoder,
                 K=5,
                 keyword_lengths=lens,

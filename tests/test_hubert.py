@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 from speechclip_plus_tpu.checkpoint.towers import hf_hubert_to_flax
 from speechclip_plus_tpu.models.hubert import (
@@ -132,3 +133,40 @@ def test_normalize_waveform_matches_torch_layernorm():
         ).numpy()
         np.testing.assert_allclose(got[b, :l], ref, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(got[b, l:], 0.0, atol=1e-6)
+
+
+def test_fused_weighted_sum_matches_stack():
+    """The scan-fused weighted sum must equal softmax-weighting the full
+    hidden-state stack, and must pass gradients to the weights but not the
+    tower when stop_contrib_gradient is set."""
+    cfg = HubertConfig.tiny()
+    model = HubertModel(cfg)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 403).astype(np.float32))
+    pad = jnp.asarray(np.arange(403)[None, :] >= np.array([[403], [250]]))
+    params = model.init({"params": jax.random.PRNGKey(0)}, wav, pad)["params"]
+
+    logits = jnp.asarray(rng.randn(cfg.n_layers + 1).astype(np.float32))
+    w = jax.nn.softmax(logits)
+
+    stack = model.apply({"params": params}, wav, pad)["hidden_states"]
+    ref = (w[:, None, None, None] * stack).sum(0)
+
+    fused = model.apply(
+        {"params": params}, wav, pad, layer_weights=w,
+        stop_contrib_gradient=True,
+    )["weighted_sum"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(lg, p):
+        ws = jax.nn.softmax(lg)
+        out = model.apply({"params": p}, wav, pad, layer_weights=ws,
+                          stop_contrib_gradient=True)
+        return (out["weighted_sum"] ** 2).sum()
+
+    g_w, g_p = jax.grad(loss, argnums=(0, 1))(logits, params)
+    assert float(jnp.abs(g_w).sum()) > 0
+    import optax
+
+    assert float(optax.global_norm(g_p)) == 0.0
