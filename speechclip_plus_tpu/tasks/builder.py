@@ -43,10 +43,18 @@ def resolve_reduced_vocab(cfg: ConfigNode) -> Optional[ReducedVocab]:
     if not path:
         return None
     if not os.path.exists(path):
-        # also look next to the reference assets layout
-        alt = os.path.join(os.path.dirname(__file__), "..", "data", "assets",
-                           os.path.basename(path))
-        path = alt if os.path.exists(alt) else path
+        # map reference-layout paths (./avssl/data/<ds>_stat/<file>.npy) and
+        # bare config paths (assets/<ds>_stat/<file>.npy) onto this repo's
+        # assets/ directory
+        parent = os.path.basename(os.path.dirname(path))
+        repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
+        for alt in (
+            os.path.join(repo_root, "assets", parent, os.path.basename(path)),
+            os.path.join(repo_root, path),
+        ):
+            if os.path.exists(alt):
+                path = alt
+                break
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"reduce_subword_embbedding file not found: {path}"
