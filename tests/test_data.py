@@ -188,3 +188,39 @@ def test_collate_and_loader(flickr_root):
     for b in batches:
         for i in range(len(b["wav_len"])):
             assert (b["wav"][i, b["wav_len"][i]:] == 0).all()
+
+
+def test_random_crop_max_length_shapes():
+    """Reference test_audio_transform.py:5-12 semantics."""
+    from speechclip_plus_tpu.data import random_crop_max_length
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1000).astype(np.float32)
+    assert len(random_crop_max_length(wav, 500, rng=rng)) == 500
+    assert len(random_crop_max_length(wav, 2000, rng=rng)) == 1000
+    assert len(random_crop_max_length(wav, -1, rng=rng)) == 1000
+    # crop is a contiguous window of the source
+    crop = random_crop_max_length(wav, 100, rng=np.random.RandomState(1))
+    found = any(
+        np.array_equal(crop, wav[i:i + 100]) for i in range(0, 901)
+    )
+    assert found
+
+
+def test_clip_text_processor_roundtrip(tiny_bpe):
+    from speechclip_plus_tpu.data import ClipTextProcessor, ReducedVocab, SimpleTokenizer
+
+    tok = SimpleTokenizer(tiny_bpe)
+    # reduced vocab covering the ids the captions use
+    ids_used = sorted(set(tok.encode("the cat runs at a dog")) | {0, tok.sot, tok.eot})
+    usage = np.array([[i, 10] for i in ids_used], dtype=np.int64)
+    rv = ReducedVocab(usage, sot_original=tok.sot, eot_original=tok.eot)
+    proc = ClipTextProcessor(tok, rv)
+
+    batch = proc.prep_text(["the cat runs"], context_length=12)
+    assert batch.shape == (1, 12)
+    assert batch[0, 0] == rv.sot_reduced
+    # detokenize strips specials and restores the caption text (pad id 0 maps
+    # back to original id 0 = "!", the reference deTokenize quirk - trim it)
+    text = proc.detokenize(batch)[0]
+    assert text.startswith("the cat runs")
