@@ -50,12 +50,18 @@ def bench_tpu() -> float:
     rng = np.random.RandomState(0)
     batch = _make_batch(rng, B=BATCH, T=WAV_LEN, img=cfg.clip.image_resolution)
 
-    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, training=False)
+    # init at a tiny batch: the init forward is shape-polymorphic over B and
+    # initializing at full batch doubles peak HBM next to the optimizer state
+    init_batch = _make_batch(rng, B=2, T=WAV_LEN, img=cfg.clip.image_resolution)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, init_batch, training=False
+    )
     tx = build_optimizer(
         variables["params"], cfg,
         scheduler_args={"warmup": 5000, "max_step": 50000, "final_lr": 1e-8},
     )
     state = create_train_state(model, variables, tx)
+    del variables  # single live copy of the params next to the opt state
     step = make_train_step(model, tx, mesh=None, donate=True)
     key = jax.random.PRNGKey(1)
 

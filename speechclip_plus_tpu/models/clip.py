@@ -104,11 +104,11 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiheadAttention(
             self.d_model, self.n_head, dtype=self.dtype, name="attn"
         )(h, h, h, attn_mask=attn_bias)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
@@ -192,13 +192,13 @@ class VisionTransformer(nn.Module):
             (n_pos, c.vision_width),
         )
         x = x + pos.astype(c.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_pre")(x)
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,
             scan_layers=c.scan_layers, remat=c.remat, dtype=c.dtype,
             name="transformer",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0, :])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj",
             nn.initializers.normal(c.vision_width ** -0.5),
@@ -227,7 +227,7 @@ class TextTransformer(nn.Module):
             scan_layers=c.scan_layers, remat=c.remat, dtype=c.dtype,
             name="transformer",
         )
-        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_final")
         self.text_projection = self.param(
             "text_projection",
             nn.initializers.normal(c.text_width ** -0.5),

@@ -192,10 +192,11 @@ class ConvFeatureExtractor(nn.Module):
             if self.cfg.extractor_mode == "group_norm" and i == 0:
                 # torch GroupNorm(C, C): per-channel stats over time, fp32
                 x = nn.GroupNorm(
-                    num_groups=ch, epsilon=1e-5, dtype=jnp.float32, name=f"gn_{i}"
+                    num_groups=ch, epsilon=1e-5, dtype=self.cfg.dtype,
+                    name=f"gn_{i}",
                 )(x)
             elif self.cfg.extractor_mode == "layer_norm":
-                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name=f"ln_{i}")(x)
             x = nn.gelu(x, approximate=False)
         return x  # (B, T', C)
 
@@ -314,8 +315,8 @@ class HubertEncoderLayer(nn.Module):
             return nn.Dense(c.d_model, dtype=c.dtype, name="fc2")(h)
 
         drop = lambda h: nn.Dropout(c.dropout)(h, deterministic=deterministic)
-        ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
-        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
+        ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="self_attn_layer_norm")
+        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="final_layer_norm")
 
         if c.layer_norm_first:
             x = x + drop(attn(ln_attn(x)))
@@ -352,7 +353,7 @@ class HubertModel(nn.Module):
         feats = ConvFeatureExtractor(c, name="feature_extractor")(wav)  # (B,T',512)
         n_frames = feats.shape[1]
 
-        feats = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(feats)
+        feats = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="layer_norm")(feats)
 
         feat_padding_mask = None
         if wav_padding_mask is not None:
@@ -367,12 +368,12 @@ class HubertModel(nn.Module):
             x = jnp.where(feat_padding_mask[:, :, None], 0.0, x)
         x = x + PositionalConvEmbedding(c, name="pos_conv")(x)
         if not c.layer_norm_first:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_layer_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="encoder_layer_norm")(x)
         else:
             # parameters exist (for checkpoint parity) but the custom forward
             # never applies the final LN to hidden states
             # (reference speech_encoder_plus.py:39-41,58-64)
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_layer_norm")
+            nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="encoder_layer_norm")
         x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
 
         key_padding_bias = None
