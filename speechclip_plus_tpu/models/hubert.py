@@ -80,6 +80,10 @@ class HubertConfig:
     # rematerialize each layer in the backward pass (memory-for-FLOPs trade;
     # irrelevant while the tower is frozen, useful when fine-tuning)
     remat: bool = False
+    # Pallas fused (flash) attention for the encoder layers; XLA's fused
+    # attention is near-optimal at the reference's <=320 frames, so this is
+    # off by default and intended for long-audio regimes (nn/flash.py)
+    use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -294,17 +298,27 @@ class HubertEncoderLayer(nn.Module):
             kk = nn.Dense(D, dtype=c.dtype, name="k_proj")(h)
             v = nn.Dense(D, dtype=c.dtype, name="v_proj")(h)
             split = lambda t: t.reshape(B, T, c.n_heads, dh).transpose(0, 2, 1, 3)
-            out = dot_product_attention(
-                split(q),
-                split(kk),
-                split(v),
-                bias=key_padding_bias,
-                dropout_rate=c.attention_dropout,
-                dropout_rng=self.make_rng("dropout")
-                if (c.attention_dropout > 0 and not deterministic)
-                else None,
-                deterministic=deterministic,
-            )
+            if c.use_flash_attention and (
+                deterministic or c.attention_dropout == 0.0
+            ):
+                from ..nn.flash import flash_attention
+
+                kpm = None
+                if key_padding_bias is not None:
+                    kpm = key_padding_bias[:, 0, 0, :] < -1e20  # bias -> bool
+                out = flash_attention(split(q), split(kk), split(v), kpm)
+            else:
+                out = dot_product_attention(
+                    split(q),
+                    split(kk),
+                    split(v),
+                    bias=key_padding_bias,
+                    dropout_rate=c.attention_dropout,
+                    dropout_rng=self.make_rng("dropout")
+                    if (c.attention_dropout > 0 and not deterministic)
+                    else None,
+                    deterministic=deterministic,
+                )
             out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
             return nn.Dense(D, dtype=c.dtype, name="out_proj")(out)
 

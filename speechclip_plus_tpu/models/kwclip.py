@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.losses import masked_contrastive_loss, quantity_l1_loss
+from ..ops.losses import masked_contrastive_loss, quantity_l1_loss, supcon_loss
 from ..ops.weighted_sum import weighted_sum
 from .branches import (
     CascadedBranch,
@@ -52,13 +52,16 @@ __all__ = ["ClLossConfig", "KWClipConfig", "KWClip", "compute_loss",
 
 @dataclasses.dataclass(frozen=True)
 class ClLossConfig:
-    type: str = "MaskedContrastiveLoss"
+    type: str = "MaskedContrastiveLoss"  # or "SupConLoss"
     temperature: float = 0.07
     temperature_trainable: bool = True
     margin: float = 0.0
     dcl: bool = False
     a2b: bool = True
     b2a: bool = True
+    # SupConLoss extras (reference losses.py:8-123 / config comment block)
+    base_temperature: float = 0.07
+    contrast_mode: str = "all"
 
     @staticmethod
     def from_config(node) -> "ClLossConfig":
@@ -67,11 +70,16 @@ class ClLossConfig:
         return ClLossConfig(
             type=d.get("type", "MaskedContrastiveLoss"),
             temperature=float(args.get("temperature", 0.07)),
-            temperature_trainable=bool(args.get("temperature_trainable", True)),
+            temperature_trainable=bool(
+                args.get("temperature_trainable",
+                         args.get("learnable_temperature", True))
+            ),
             margin=float(args.get("margin", 0.0)),
             dcl=bool(args.get("dcl", False)),
             a2b=bool(args.get("a2b", True)),
             b2a=bool(args.get("b2a", True)),
+            base_temperature=float(args.get("base_temperature", 0.07)),
+            contrast_mode=args.get("contrast_mode", "all"),
         )
 
 
@@ -605,17 +613,32 @@ class KWClip(nn.Module):
             ("parallel_audio_feat", c.parallel_objective_weight, "p_cl_loss"),
         ):
             if weight > 0.0 and key in loss_feats:
-                l = masked_contrastive_loss(
-                    loss_feats[key].astype(jnp.float32),
-                    image_feat,
-                    ids,
-                    logit_scale=scale,
-                    margin=c.cl_loss.margin,
-                    dcl=c.cl_loss.dcl,
-                    a2b=c.cl_loss.a2b,
-                    b2a=c.cl_loss.b2a,
-                    valid=valid,
-                )
+                if c.cl_loss.type == "SupConLoss":
+                    # audio/image as two views of the pair (same-id samples
+                    # are positives, reference losses.py:8-123)
+                    feats = jnp.stack(
+                        [loss_feats[key].astype(jnp.float32), image_feat],
+                        axis=1,
+                    )
+                    l = supcon_loss(
+                        feats,
+                        labels=ids,
+                        temperature=1.0 / scale,
+                        base_temperature=c.cl_loss.base_temperature,
+                        contrast_mode=c.cl_loss.contrast_mode,
+                    )
+                else:
+                    l = masked_contrastive_loss(
+                        loss_feats[key].astype(jnp.float32),
+                        image_feat,
+                        ids,
+                        logit_scale=scale,
+                        margin=c.cl_loss.margin,
+                        dcl=c.cl_loss.dcl,
+                        a2b=c.cl_loss.a2b,
+                        b2a=c.cl_loss.b2a,
+                        valid=valid,
+                    )
                 losses[short] = l
                 total = total + weight * l
         if (

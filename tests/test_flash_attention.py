@@ -69,3 +69,25 @@ def test_gradients_match_xla():
         # fp32 rounding differences between the fused online-softmax forward
         # (saved lse) and XLA's unfused softmax accumulate slightly in grads
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)
+
+
+def test_hubert_with_flash_matches_xla_path():
+    """HubertModel(use_flash_attention=True) must match the XLA path
+    (kernel runs in interpreter mode on CPU via the autouse fixture)."""
+    import dataclasses
+
+    from speechclip_plus_tpu.models.hubert import HubertConfig, HubertModel
+
+    cfg = HubertConfig.tiny(dropout=0.0, attention_dropout=0.0)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 403).astype(np.float32))
+    pad = jnp.asarray(np.arange(403)[None, :] >= np.array([[403], [250]]))
+    model = HubertModel(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, wav, pad)["params"]
+    ref = model.apply({"params": params}, wav, pad)["x"]
+
+    fcfg = dataclasses.replace(cfg, use_flash_attention=True)
+    fmodel = HubertModel(fcfg)
+    got = fmodel.apply({"params": params}, wav, pad)["x"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

@@ -207,3 +207,21 @@ def test_attention_map_and_forward_text():
     ids = np.asarray(batch["text"])[:, : cfg.clip.context_length]
     feats = model.apply(variables, jnp.asarray(ids), method=KWClip.forward_text)
     assert feats.shape == (B, cfg.clip.embed_dim)
+
+
+def test_supcon_loss_config_path():
+    import dataclasses
+
+    from speechclip_plus_tpu.models.kwclip import ClLossConfig
+
+    cfg = dataclasses.replace(
+        tiny_cfg("", parallel_w=1.0, cascaded_w=0.0),
+        cl_loss=ClLossConfig(type="SupConLoss", temperature_trainable=True),
+    )
+    model = KWClip(cfg)
+    batch = make_batch(np.random.RandomState(4))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, training=False)
+    lf, _, _ = model.apply(variables, batch, training=False)
+    losses = model.apply(variables, lf, method=KWClip.compute_loss)
+    assert np.isfinite(float(losses["loss"]))
+    assert "p_cl_loss" in losses
