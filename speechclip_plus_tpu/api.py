@@ -1,0 +1,131 @@
+"""High-level library API.
+
+The reference's library usage (`example.py:10-33`) is:
+
+    model = KWClip_GeneralTransformer.load_from_checkpoint(path)
+    feat, hidden_states = model.feature_extractor_s3prl(wav=[tensor...])
+    out = model.encode_speech(wav=[tensor...])
+
+This module provides the same surface for the Flax rebuild: ragged host-side
+waveform lists are padded/bucketed here, model weights come from either a
+PyTorch-Lightning `.ckpt` (released SpeechCLIP+ artifacts) or an orbax
+checkpoint directory saved by the Trainer, and the jitted methods run on
+whatever devices JAX sees.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import ConfigNode, load_config
+from .models import KWClip
+from .models.kwclip import KWClipConfig
+
+__all__ = ["SpeechCLIP", "load_from_checkpoint"]
+
+_BUCKETS = (16000, 32000, 48000, 64000, 80000, 102400, 160000, 240000)
+
+
+def _pad_wavs(wavs: Sequence[np.ndarray], buckets=_BUCKETS):
+    lens = np.array([len(w) for w in wavs], np.int32)
+    t = int(lens.max())
+    for b in buckets:
+        if t <= b:
+            t = b
+            break
+    out = np.zeros((len(wavs), t), np.float32)
+    for i, w in enumerate(wavs):
+        out[i, : len(w)] = np.asarray(w, np.float32)
+    return jnp.asarray(out), jnp.asarray(lens)
+
+
+class SpeechCLIP:
+    """Inference-oriented wrapper around a KWClip model + variables."""
+
+    def __init__(self, model: KWClip, variables: dict,
+                 tokenizer=None, vocab=None):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.vocab = vocab
+        self._encode_speech = jax.jit(
+            lambda v, w, l: model.apply(v, w, l, method=KWClip.encode_speech)
+        )
+        self._feature_extractor = jax.jit(
+            lambda v, w, l: model.apply(v, w, l, method=KWClip.feature_extractor)
+        )
+
+    @property
+    def cfg(self) -> KWClipConfig:
+        return self.model.cfg
+
+    def encode_speech(self, wav: Sequence[np.ndarray]) -> dict:
+        """Reference `encode_speech` (`kwClip.py:1042-1091`) over a ragged
+        list of waveforms."""
+        w, l = _pad_wavs(wav)
+        return self._encode_speech(self.variables, w, l)
+
+    def feature_extractor_s3prl(
+        self, wav: Sequence[np.ndarray]
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        """Reference `feature_extractor_s3prl` (`kwClip.py:965-997`)."""
+        w, l = _pad_wavs(wav)
+        return self._feature_extractor(self.variables, w, l)
+
+    def extract_keywords(self, wav: Sequence[np.ndarray]) -> dict:
+        """Reference `extract_keywords` intent (`kwClip.py:1093-1103`):
+        VQ targets mapped back to original CLIP subword ids."""
+        out = self.encode_speech(wav)
+        vq = dict(out["vq_results"]) if out.get("vq_results") else None
+        if vq is not None and self.vocab is not None:
+            targets = np.asarray(vq["targets"]).reshape(len(wav), -1)
+            vq["targets_original"] = self.vocab.to_original(targets)
+        return {"vq_results": vq, "dsample_results": out.get("dsample_results")}
+
+
+def load_from_checkpoint(
+    path: str,
+    config: Optional[str] = None,
+    monitor: Optional[str] = None,
+) -> SpeechCLIP:
+    """Build a SpeechCLIP wrapper from a Lightning `.ckpt` file or an orbax
+    checkpoint directory (argument-free restore: the config rides inside,
+    reference `base_model.py:10-27` / `base_task.py:64`)."""
+    from .tasks.builder import build_model_from_config
+
+    if path.endswith(".ckpt"):
+        from .checkpoint import lightning_to_kwclip, load_lightning_checkpoint
+
+        sd, cfg_node, _ = load_lightning_checkpoint(path)
+        if config:
+            cfg_node.deep_update(load_config(config))
+        model, _, model_cfg, vocab = build_model_from_config(cfg_node)
+        params, batch_stats = lightning_to_kwclip(sd, model_cfg)
+        variables = {"params": params, "batch_stats": batch_stats}
+    else:
+        from .checkpoint import CheckpointManager
+        from .optim import build_optimizer
+        from .parallel import create_train_state
+
+        cfg_node = ConfigNode(CheckpointManager.load_config(path))
+        model, variables, model_cfg, vocab = build_model_from_config(cfg_node)
+        tx = build_optimizer(variables["params"], model_cfg)
+        state = create_train_state(model, variables, tx)
+        mgr = CheckpointManager(path)
+        state = mgr.restore(state, monitor=monitor)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    tokenizer = None
+    bpe = getattr(cfg_node.data.dataset, "bpe_path", None) if "data" in cfg_node else None
+    if bpe:
+        import os
+
+        if os.path.exists(bpe):
+            from .data.tokenizer import SimpleTokenizer
+
+            tokenizer = SimpleTokenizer(bpe)
+    return SpeechCLIP(model, variables, tokenizer=tokenizer, vocab=vocab)

@@ -241,3 +241,42 @@ def test_image_embedding_cache_matches_live_path(tiny_world):
         np.asarray(lf_live["image_feat"]), np.asarray(lf_cached["image_feat"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_api_load_from_orbax_checkpoint(tiny_world, monkeypatch):
+    """Library surface: train via CLI, then `load_from_checkpoint` on the
+    orbax dir and run encode_speech / feature_extractor_s3prl on ragged
+    waveform lists (reference example.py:10-33)."""
+    tmp_path, cfg_path = tiny_world
+    save = tmp_path / "exp_api"
+
+    import argparse
+
+    import speechclip_plus_tpu.tasks as tasks
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_task.py", "TrainKWClip_GeneralTransformer",
+         "--config", str(cfg_path), "--train", "--save_path", str(save),
+         "--seed", "3", "--devices", "1", "--njobs", "1"],
+    )
+    runner = tasks.TrainKWClip_GeneralTransformer()
+    p = argparse.ArgumentParser()
+    p.add_argument("task")
+    runner.add_args(p)
+    runner.parse_args(p)
+    runner.run()
+
+    from speechclip_plus_tpu.api import load_from_checkpoint
+
+    m = load_from_checkpoint(str(save / "checkpoints"))
+    rng = np.random.RandomState(0)
+    wavs = [rng.randn(2000).astype(np.float32),
+            rng.randn(1500).astype(np.float32)]
+    out = m.encode_speech(wavs)
+    assert out["parallel_audio_feat"].shape[0] == 2
+    last, hidden = m.feature_extractor_s3prl(wavs)
+    assert last.shape[0] == 2 and len(hidden) >= 3
+    kw = m.extract_keywords(wavs)
+    assert kw["vq_results"] is not None
+    assert kw["vq_results"]["targets_original"].shape[0] == 2
