@@ -65,6 +65,7 @@ class CifConfig:
             ),
             quantity_loss_weight=float(d.get("quantity_loss_weight", 1.0)),
             using_gt_len=bool(d.get("using_gt_len", False)),
+            max_feat_len=int(d.get("max_feat_len", MAX_FEAT_LEN)),
         )
 
 

@@ -269,7 +269,13 @@ class TextTransformer(nn.Module):
         b, kmax, _ = keywords.shape
         if not hasattr(keyword_num, "shape") or keyword_num.ndim == 0:
             keyword_num = jnp.full((b,), int(keyword_num), dtype=jnp.int32)
-        eot_index = (keyword_num + 1).astype(jnp.int32)  # (B,)
+        # the EOT slot must fit the context: at most context_length-2 keywords
+        # (= the reference's invariant 75 + SOT + EOT = 77; enforced here so
+        # mismatched configs clamp instead of producing OOB-gather NaNs)
+        keyword_num = jnp.clip(
+            keyword_num.astype(jnp.int32), 1, c.context_length - 2
+        )
+        eot_index = keyword_num + 1  # (B,)
 
         positions = jnp.arange(c.context_length, dtype=jnp.int32)[None, :]  # (1,77)
         ids = jnp.where(positions == 0, c.sot_id, 0)

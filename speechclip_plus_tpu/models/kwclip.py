@@ -204,6 +204,14 @@ class KWClipConfig:
             ds = getattr(cb, "downsampling", None)
             if ds is not None and getattr(ds, "type", None) == "cif":
                 cif = CifConfig.from_config(ds.cif)
+                # keyword slots + SOT + EOT must fit the text context
+                # (75 + 2 = 77 in the reference; clamp for smaller contexts)
+                cif = dataclasses.replace(
+                    cif,
+                    max_feat_len=min(
+                        cif.max_feat_len, clip_cfg.context_length - 2
+                    ),
+                )
                 using_gt_len = cif.using_gt_len
 
         parallel_ta = (

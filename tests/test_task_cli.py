@@ -172,10 +172,16 @@ def test_cli_train_eval_roundtrip(tiny_world, monkeypatch):
     trainer = runner.run()
     assert int(trainer.state.step) == 4
 
-    # metrics logged
+    # metrics logged - and FINITE (guards the OOB-gather NaN class of bug:
+    # CIF slots + SOT + EOT must fit the text context)
     assert (save / "metrics.jsonl").exists()
     rows = [json.loads(l) for l in (save / "metrics.jsonl").read_text().splitlines()]
     assert any("val_recall_mean_10" in r for r in rows)
+    import math
+    for r in rows:
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert math.isfinite(v), (k, v, r)
     # keyword artifacts dumped (log_detokenize_results every epoch)
     retok = list((save / "retokenizeText").glob("keywords_ep*.json"))
     assert retok, "keyword neighbor JSON missing"
