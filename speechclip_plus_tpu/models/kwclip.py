@@ -102,7 +102,15 @@ class KWClipConfig:
     audio_trainable: bool = False
     image_encoder_trainable: bool = False
     text_encoder_trainable: bool = False
-    feat_select_idx: str = "weighted_sum"
+    # str ("weighted_sum"/"last_hidden_state") or tuple of layer indices
+    # (reference speech_encoder_plus.py:612-634 accepts an int list)
+    feat_select_idx: Any = "weighted_sum"
+    # trainable-encoder subset policies (reference speech_encoder_plus.py:
+    # 418-449): mutually exclusive; both imply audio_trainable and freeze
+    # everything in the tower except the listed layers (+ the post-norm
+    # final encoder LayerNorm, per `trainable_params`, :478-494)
+    reinit_layers: Tuple[int, ...] = ()
+    unfreeze_layers: Tuple[int, ...] = ()
     normalize_hiddenstates: bool = False
     normalize_type: str = "s3prl"
     need_projection: bool = True  # parallel branch projection
@@ -175,6 +183,55 @@ class KWClipConfig:
         else:
             audio_cfg = HubertConfig.base()
 
+        # trainer.precision drives the tower compute dtype: the reference
+        # trains fp16 via Lightning (`spchclip_h+.yaml:141`, `base_task.py:197`);
+        # on TPU 16/bf16 map to bfloat16 towers (losses/BN/VQ stats stay fp32
+        # inside ops/*). fp32 only when the config asks for it explicitly.
+        precision = str(
+            getattr(getattr(cfg, "trainer", None), "precision", 32) or 32
+        ).lower()
+        if precision in ("16", "16-mixed", "bf16", "bf16-mixed", "bfloat16"):
+            audio_cfg = dataclasses.replace(audio_cfg, dtype=jnp.bfloat16)
+            clip_cfg = dataclasses.replace(clip_cfg, dtype=jnp.bfloat16)
+
+        # LayerDrop: float rate, or "original" = keep the pretrained model's
+        # rate (0.05 for fairseq hubert base/large; reference passes the raw
+        # value into `encoder.encoder.layerdrop`, speech_encoder_plus.py:407)
+        layer_drop = getattr(cfg.audio_encoder, "layer_drop", 0.0)
+        if layer_drop == "original":
+            layer_drop = 0.05
+        audio_cfg = dataclasses.replace(audio_cfg, layer_drop=float(layer_drop))
+
+        feat_select_idx = getattr(
+            cfg.audio_encoder, "feat_select_idx", "weighted_sum"
+        )
+        if isinstance(feat_select_idx, (list, tuple)):
+            feat_select_idx = tuple(int(i) for i in feat_select_idx)
+
+        reinit_layers = tuple(
+            int(i) for i in (getattr(cfg.audio_encoder, "reinit_layers", []) or [])
+        )
+        unfreeze_layers = tuple(
+            int(i) for i in (getattr(cfg.audio_encoder, "unfreeze_layers", []) or [])
+        )
+        assert not (reinit_layers and unfreeze_layers), (
+            "reinit_layers and unfreeze_layers are mutually exclusive "
+            "(reference speech_encoder_plus.py:418)"
+        )
+
+        def _branch_ta(branch_node) -> TransformerArgs:
+            """Parse transformer_args; the original-SpeechCLIP config family
+            puts the block type in a sibling `transformer_type` key
+            (`config/speechCLIP/model_base/spchclp_p.yaml`) instead of
+            `transformer_args.type`."""
+            args_node = branch_node.transformer_args
+            ta = TransformerArgs.from_config(args_node)
+            sibling = getattr(branch_node, "transformer_type", None)
+            d = args_node.to_dict() if hasattr(args_node, "to_dict") else dict(args_node)
+            if sibling and "type" not in d:
+                ta = dataclasses.replace(ta, type=sibling)
+            return ta
+
         branch_type = ""
         cascaded_ta = TransformerArgs(type="MultiheadAttentionAndNorm")
         head = KeywordHeadConfig()
@@ -183,7 +240,7 @@ class KWClipConfig:
         if c_w > 0:
             cb = ms.cascaded_branch
             branch_type = cb.type.replace("KW_", "").replace("dynamic", "plus")
-            cascaded_ta = TransformerArgs.from_config(cb.transformer_args)
+            cascaded_ta = _branch_ta(cb)
             kw = getattr(cb, "keyword", None)
             kw_num = int(getattr(kw, "number", 8)) if kw is not None else 8
             kwp = getattr(kw, "kw_projection", None) if kw is not None else None
@@ -215,7 +272,7 @@ class KWClipConfig:
                 using_gt_len = cif.using_gt_len
 
         parallel_ta = (
-            TransformerArgs.from_config(ms.parallel_branch.transformer_args)
+            _branch_ta(ms.parallel_branch)
             if p_w > 0 and hasattr(ms, "parallel_branch")
             else TransformerArgs()
         )
@@ -243,14 +300,17 @@ class KWClipConfig:
             cl_loss=ClLossConfig.from_config(cfg.cl_loss),
             cascaded_objective_weight=c_w,
             parallel_objective_weight=p_w,
-            audio_trainable=bool(getattr(cfg.audio_encoder, "trainable", False)),
+            audio_trainable=bool(getattr(cfg.audio_encoder, "trainable", False))
+            or bool(reinit_layers) or bool(unfreeze_layers),
+            reinit_layers=reinit_layers,
+            unfreeze_layers=unfreeze_layers,
             image_encoder_trainable=bool(
                 getattr(cfg.clip, "image_encoder_trainable", False)
             ),
             text_encoder_trainable=bool(
                 getattr(cfg.clip, "text_encoder_trainable", False)
             ),
-            feat_select_idx=getattr(cfg.audio_encoder, "feat_select_idx", "weighted_sum"),
+            feat_select_idx=feat_select_idx,
             normalize_hiddenstates=bool(
                 getattr(cfg.audio_encoder, "normalize_hiddenstates", False)
             ),
@@ -421,7 +481,16 @@ class KWClip(nn.Module):
                     axis=-1
                 )[:, :, None, None]
 
-        if c.feat_select_idx == "weighted_sum":
+        if isinstance(c.feat_select_idx, tuple):
+            # int-list layer selection (reference speech_encoder_plus.py:
+            # 624-626 returns the chosen hidden states as a list). A single
+            # index yields the usual (B, T, D) feature; multiple indices
+            # stack to (n, B, T, D) — a feature-extraction surface, not a
+            # trainable-branch input (the reference would equally fail to
+            # feed a list into a branch).
+            sel = hidden[jnp.asarray(c.feat_select_idx)]
+            feat = sel[0] if len(c.feat_select_idx) == 1 else sel
+        elif c.feat_select_idx == "weighted_sum":
             feat = weighted_sum(
                 hidden,
                 self.hidden_weights,
@@ -479,6 +548,12 @@ class KWClip(nn.Module):
         c = self.cfg
         if deterministic is None:
             deterministic = not training
+        if isinstance(c.feat_select_idx, tuple) and len(c.feat_select_idx) > 1:
+            raise NotImplementedError(
+                "multi-layer feat_select_idx is a feature-extraction surface "
+                "(use forward_audio / feature_extractor); branches need one "
+                "(B, T, D) feature tensor — same constraint as the reference"
+            )
         wav, wav_len = batch["wav"], batch["wav_len"]
         image = batch.get("image")
         ids = batch["id"]
@@ -499,9 +574,17 @@ class KWClip(nn.Module):
         target_len = None
         if c.branch_type.endswith("_plus"):
             if c.using_gt_len and "text" in batch:
-                # EOT index - 1 in original-id space (reference kwClip.py:861-869)
+                # caption length = EOT position - 1 in original-id space
+                # (reference kwClip.py:861-869 uses argmax; EOT=49407 is the
+                # max id in the full vocab — locate it explicitly instead)
                 text = batch["text"]
-                target_len = (jnp.argmax(text, axis=-1) - 1).astype(jnp.int32)
+                is_eot = text == c.original_eot_id
+                eot_pos = jnp.where(
+                    is_eot.any(axis=-1),
+                    jnp.argmax(is_eot, axis=-1),
+                    jnp.argmax(text, axis=-1),
+                )
+                target_len = (eot_pos - 1).astype(jnp.int32)
             else:
                 target_len = jnp.round(audio_feat_len.astype(jnp.float32) / 20.0).astype(
                     jnp.int32
@@ -540,11 +623,10 @@ class KWClip(nn.Module):
                 if output.get("keywords_len") is not None
                 else output["keyword_num"]
             )
+            # when the text tower is frozen, grads still flow through its
+            # activations into the keywords; the tower's own params are
+            # excluded by stop_gradient + the optimizer mask
             cascaded_audio_feat = self.clip.encode_keywords(keywords, keyword_num)
-            if not c.text_encoder_trainable:
-                # grads flow through activations to the keywords, not into
-                # the frozen text tower's params (handled by optimizer mask)
-                pass
 
         loss_feats: Dict[str, Any] = {"id": ids, "image_feat": image_feat}
         others: Dict[str, Any] = {"id": ids, "image_feat": image_feat}

@@ -144,8 +144,11 @@ class TrainSpeechClipBaseTask(BaseTask):
         dev_batch_size = int(getattr(cfg.data, "dev_batch_size", batch_size))
         max_audio_len = int(getattr(cfg.audio_encoder, "max_audio_len", -1))
 
+        # frozen image tower -> its outputs are training-invariant, so the
+        # cache (precompute once, drop the ViT + JPEG decode from every step)
+        # defaults ON; set data.cache_image_embeddings: false to opt out
         cache_images = bool(
-            getattr(cfg.data, "cache_image_embeddings", False)
+            getattr(cfg.data, "cache_image_embeddings", True)
         ) and not model_cfg.image_encoder_trainable
 
         def _maybe_cache(ds):
@@ -171,14 +174,16 @@ class TrainSpeechClipBaseTask(BaseTask):
                                else "val", tokenizer,
                                model_cfg.clip.image_resolution)
             )
+            # njobs = decode worker processes, as in the reference DataLoader
+            # (`base_task.py:137-169`); 0 keeps a single prefetch thread
             train_loader = BucketedLoader(
                 train_set, batch_size, shuffle=True, drop_last=True,
                 max_audio_len=max_audio_len, train=True, seed=args.seed,
-                prefetch=max(args.njobs, 1),
+                num_workers=args.njobs, prefetch=max(2 * args.njobs, 2),
             )
             dev_loader = BucketedLoader(
                 dev_set, dev_batch_size, shuffle=False, drop_last=False,
-                prefetch=max(args.njobs, 1),
+                num_workers=args.njobs, prefetch=max(2 * args.njobs, 2),
             )
             trainer.fit(train_loader, dev_loader)
         elif args.eval or args.test:
@@ -190,7 +195,7 @@ class TrainSpeechClipBaseTask(BaseTask):
             )
             eval_loader = BucketedLoader(
                 eval_set, dev_batch_size, shuffle=False, drop_last=False,
-                prefetch=max(args.njobs, 1),
+                num_workers=args.njobs, prefetch=max(2 * args.njobs, 2),
             )
             metrics = trainer.validate(eval_loader)
             print({k: round(v, 4) for k, v in metrics.items()})

@@ -51,3 +51,36 @@ def test_load_reference_yaml(tmp_path):
     )
     cfg = load_config(str(p))
     assert cfg.model_settings.cascaded_branch.transformer_args.d_model == 768
+
+
+def test_trainer_precision_drives_tower_dtypes(tmp_path):
+    """trainer.precision: bf16/16 must reach the towers through the product
+    (YAML -> KWClipConfig) path, not just hand-built bench configs
+    (reference trains fp16: config/speechCLIP+/model_base/spchclip_h+.yaml:141)."""
+    import jax.numpy as jnp
+
+    from speechclip_plus_tpu.models.kwclip import KWClipConfig
+
+    repo = __import__("os").path.join(__import__("os").path.dirname(__file__), "..")
+    shipped = load_config(
+        __import__("os").path.join(
+            repo, "config", "speechclip_plus", "base", "hybrid_plus.yaml"
+        )
+    )
+    mc = KWClipConfig.from_config(shipped)
+    assert mc.audio.dtype == jnp.bfloat16
+    assert mc.clip.dtype == jnp.bfloat16
+
+    # precision 16 (the reference's literal value) also maps to bf16 on TPU
+    shipped.trainer.precision = 16
+    mc16 = KWClipConfig.from_config(shipped)
+    assert mc16.audio.dtype == jnp.bfloat16
+
+    # explicit fp32 and absent precision stay fp32
+    shipped.trainer.precision = 32
+    mc32 = KWClipConfig.from_config(shipped)
+    assert mc32.audio.dtype == jnp.float32
+    tiny = load_config(
+        __import__("os").path.join(repo, "config", "dev", "tiny.yaml")
+    )
+    assert KWClipConfig.from_config(tiny).audio.dtype == jnp.float32
