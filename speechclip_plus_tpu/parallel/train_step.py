@@ -79,15 +79,24 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    accumulate_grad_batches: int = 1,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted SPMD train step.
 
     Returns `step_fn(state, batch, rng) -> (state, metrics)`. When `mesh` is
     given, input batches are expected sharded on the leading axis and the
     state replicated; without a mesh it is an ordinary single-device jit.
+
+    `state.step` counts *micro*-steps (one per call); all schedule clocks —
+    the LR schedule (via optax.MultiSteps' inner count), the VQ temperature
+    decay and CIF `scaling_step` — advance per *optimizer* step, i.e.
+    `state.step // accumulate_grad_batches`, matching Lightning's
+    `global_step` semantics under `accumulate_grad_batches`
+    (reference `cif.py:102-104`, `my_vector_quantizer.py:124-137`).
     """
 
     cfg = model.cfg
+    accum = max(int(accumulate_grad_batches), 1)
     frozen_roots = []
     if not cfg.audio_trainable:
         frozen_roots.append("audio_encoder")
@@ -97,6 +106,8 @@ def make_train_step(
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         rngs = {"dropout": jax.random.fold_in(rng, state.step)}
         rngs["vq"] = jax.random.fold_in(rngs["dropout"], 1)
+        rngs["layer_drop"] = jax.random.fold_in(rngs["dropout"], 2)
+        opt_step = state.step // accum  # Lightning global_step equivalent
 
         def loss_fn(params):
             # frozen towers: cut the parameter cotangents entirely (grads
@@ -107,7 +118,7 @@ def make_train_step(
             for root in frozen_roots:
                 p[root] = jax.lax.stop_gradient(params[root])
             losses, log_metrics, _, new_stats = _forward_and_loss(
-                model, p, state.batch_stats, batch, state.step, rngs, True
+                model, p, state.batch_stats, batch, opt_step, rngs, True
             )
             return losses["loss"], (losses, log_metrics, new_stats)
 

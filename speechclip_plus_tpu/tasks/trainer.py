@@ -70,11 +70,20 @@ class Trainer:
         self.tx = build_optimizer_from_config(
             variables["params"], self.model_cfg, cfg_node
         )
+        self.accum = max(
+            int(getattr(cfg_node.trainer, "accumulate_grad_batches", 1) or 1), 1
+        )
         self.state = create_train_state(model, variables, self.tx)
-        self.train_step = make_train_step(model, self.tx, mesh=self.mesh)
+        self.train_step = make_train_step(
+            model, self.tx, mesh=self.mesh, accumulate_grad_batches=self.accum
+        )
         self.eval_step = make_eval_step(model, mesh=self.mesh)
 
         trainer_cfg = cfg_node.trainer
+        # max_steps counts *optimizer* steps (Lightning semantics): with
+        # accumulate_grad_batches=k the fit loop runs k micro-steps per
+        # optimizer step (reference large recipe: 50k optimizer steps at
+        # batch 128 x accum 2)
         self.max_steps = int(getattr(trainer_cfg, "max_steps", 50000))
         self.log_every = int(getattr(trainer_cfg, "log_every_n_steps", 8))
         self.val_every_epoch = int(getattr(trainer_cfg, "check_val_every_n_epoch", 1))
@@ -114,36 +123,49 @@ class Trainer:
         self.state = mgr.restore(self.state)
         logger.info("Resumed from %s at step %d", ckpt_dir, int(self.state.step))
 
+    @property
+    def opt_step(self) -> int:
+        """Optimizer steps completed (Lightning `global_step`):
+        micro-steps // accumulate_grad_batches."""
+        return int(self.state.step) // self.accum
+
     def fit(
         self,
         train_loader: Iterable,
         val_loader: Optional[Iterable] = None,
     ) -> None:
         rng = jax.random.PRNGKey(self.seed)
-        t0 = time.time()
-        while int(self.state.step) < self.max_steps:
+        last_log_step = int(self.state.step)
+        last_log_time = time.time()
+        while self.opt_step < self.max_steps:
             for batch in train_loader:
-                step = int(self.state.step)
-                if step >= self.max_steps:
+                if self.opt_step >= self.max_steps:
                     break
+                micro_step = int(self.state.step)
                 self.state, metrics = self.train_step(
                     self.state, self._device_batch(batch), rng
                 )
-                if step % self.log_every == 0:
+                if micro_step % self.log_every == 0:
                     row = {k: _scalar(v) for k, v in metrics.items()
                            if np.asarray(v).ndim == 0}
+                    now = time.time()
+                    done = int(self.state.step) - last_log_step
                     row["steps_per_sec"] = (
-                        self.log_every / max(time.time() - t0, 1e-9) if step else 0.0
+                        done / max(now - last_log_time, 1e-9) if done else 0.0
                     )
-                    t0 = time.time()
-                    self.metrics_logger.log(row, step)
+                    row["micro_step"] = float(int(self.state.step))
+                    last_log_step = int(self.state.step)
+                    last_log_time = now
+                    self.metrics_logger.log(row, self.opt_step)
             self.epoch += 1
             if val_loader is not None and self.epoch % self.val_every_epoch == 0:
                 val_metrics = self.validate(val_loader)
-                self.ckpt.save(int(self.state.step), self.state, val_metrics)
+                self.ckpt.save(self.opt_step, self.state, val_metrics)
+                last_log_time = time.time()  # don't bill val time to steps/sec
+                last_log_step = int(self.state.step)
         if val_loader is not None:
             val_metrics = self.validate(val_loader)
-            self.ckpt.save(int(self.state.step), self.state, val_metrics)
+            self.ckpt.save(self.opt_step, self.state, val_metrics)
 
     # ------------------------------------------------------- validation ----
 
@@ -183,9 +205,18 @@ class Trainer:
             val_metrics[f"val_recall_IA_{k}"] = v
         for k, v in r_mean.items():
             val_metrics[f"val_recall_mean_{k}"] = v
-        val_metrics["val_recall_mean_10"] = r_mean.get(
-            "recall@10", max(r_mean.values())
-        )
+        # the checkpoint monitor metric (reference kwClip.py:595-598). When
+        # retrieval.recall_at excludes 10 we fall back to the largest
+        # configured k — explicitly, with a warning, not silently.
+        if "recall@10" in r_mean:
+            val_metrics["val_recall_mean_10"] = r_mean["recall@10"]
+        else:
+            k = f"recall@{max(self.recall_at)}"
+            logger.warning(
+                "retrieval.recall_at=%s has no 10; using %s as the "
+                "val_recall_mean_10 checkpoint monitor", self.recall_at, k,
+            )
+            val_metrics["val_recall_mean_10"] = r_mean[k]
         logger.info(
             "val: loss=%.4f recall@1/5/10 A->I %s I->A %s mean %s",
             val_metrics.get("val_loss", float("nan")), r_ai, r_ia, r_mean,
@@ -196,7 +227,7 @@ class Trainer:
         if has_keywords and self.log_detok and self.epoch % self.detok_every == 0:
             self._dump_keyword_artifacts(all_out)
 
-        self.metrics_logger.log(val_metrics, int(self.state.step))
+        self.metrics_logger.log(val_metrics, self.opt_step)
         return val_metrics
 
     def _dump_keyword_artifacts(self, all_out) -> None:
