@@ -249,11 +249,24 @@ class TextTransformer(nn.Module):
         return pooled @ self.text_projection.astype(pooled.dtype)
 
     def __call__(self, text_ids: jnp.ndarray) -> jnp.ndarray:
-        """Token ids (B, 77) -> text feature. EOT = argmax id (CLIP convention:
-        EOT has the highest id in both the full and the usage-ranked reduced
-        vocabularies — see `clip_official.py` encode_text / reference CLIP)."""
+        """Token ids (B, 77) -> text feature, pooled at the EOT slot.
+
+        OpenAI CLIP pools at `argmax(text_ids)` — correct only because EOT
+        is the highest id in the FULL vocabulary. Under a usage-ranked
+        reduced vocabulary (`clip_official.py:63-107`) EOT's reduced id can
+        be small (it is 3 in `*_byfreq.npy`), so the reference quirk pools a
+        wrong token. Intent-over-quirk (PARITY.md): pool at the first
+        position whose id == the known `eot_id`; fall back to argmax only
+        when EOT is absent from the row."""
+        c = self.cfg
+        is_eot = text_ids == c.eot_id
+        eot_index = jnp.where(
+            is_eot.any(axis=-1),
+            jnp.argmax(is_eot, axis=-1),
+            jnp.argmax(text_ids, axis=-1),
+        )
         x = self.token_embedding(text_ids)
-        return self.run(x, jnp.argmax(text_ids, axis=-1))
+        return self.run(x, eot_index)
 
     def encode_keywords(
         self, keywords: jnp.ndarray, keyword_num

@@ -17,6 +17,9 @@ from speechclip_plus_tpu.checkpoint.towers import (
 )
 from speechclip_plus_tpu.models.clip import ClipConfig, ClipModel
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 transformers = pytest.importorskip("transformers")
 
 
@@ -163,3 +166,45 @@ def test_get_scores_shapes(pair):
     li, lt = model.apply({"params": params}, img, jnp.asarray(ids))
     assert li.shape == (2, 4) and lt.shape == (4, 2)
     np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-6)
+
+
+def test_encode_text_pools_true_eot_for_reduced_vocab(pair):
+    """Intent-over-quirk (PARITY.md): under a usage-ranked reduced vocabulary
+    EOT's reduced id can be SMALL (3 in `*_byfreq.npy`), so OpenAI's
+    argmax-pooling convention picks a wrong token; we pool at the known
+    `eot_id` position (reference quirk: `clip_official.py:102-107`)."""
+    import dataclasses
+
+    oracle, cfg, params = pair
+    # pretend id 3 is EOT (byfreq-style reduced vocab): rows contain larger
+    # ids after the EOT slot, so argmax != eot position
+    cfg_red = dataclasses.replace(cfg, eot_id=3, sot_id=2)
+    ids = np.zeros((2, 16), np.int64)
+    ids[0, :6] = [2, 40, 50, 61, 3, 0]   # argmax slot 3 (id 61) != EOT slot 4
+    ids[1, :4] = [2, 33, 3, 0]
+    model = ClipModel(cfg_red)
+    got = model.apply({"params": params}, jnp.asarray(ids), method=model.encode_text)
+
+    # oracle: run the torch text tower and pool at the KNOWN eot slots
+    with torch.no_grad():
+        out = oracle.text_model(
+            torch.from_numpy(ids),
+            attention_mask=torch.ones(2, 16, dtype=torch.long),
+        ).last_hidden_state
+        pooled = out[torch.arange(2), torch.tensor([4, 2])]
+        ref = oracle.text_projection(pooled).numpy()
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+
+    # full-vocab rows (EOT = max id) are unchanged vs the argmax convention
+    ids2 = np.zeros((1, 16), np.int64)
+    ids2[0, :5] = [62, 10, 20, 63, 0]
+    model_full = ClipModel(cfg)
+    got2 = model_full.apply(
+        {"params": params}, jnp.asarray(ids2), method=model_full.encode_text
+    )
+    with torch.no_grad():
+        ref2 = oracle.get_text_features(
+            torch.from_numpy(ids2),
+            attention_mask=torch.ones(1, 16, dtype=torch.long),
+        ).numpy()
+    np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-4, atol=2e-5)
