@@ -17,6 +17,9 @@ from speechclip_plus_tpu.models import KWClip
 
 from test_kwclip_model import make_batch, tiny_cfg
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 D = 32
 
 

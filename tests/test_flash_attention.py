@@ -13,6 +13,9 @@ import jax.numpy as jnp
 from speechclip_plus_tpu.nn import flash as flash_mod
 from speechclip_plus_tpu.nn.flash import _xla_attention, flash_attention
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def interpret_pallas(monkeypatch):

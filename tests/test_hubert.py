@@ -23,6 +23,9 @@ from speechclip_plus_tpu.models.hubert import (
 
 transformers = pytest.importorskip("transformers")
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 
 def _mk_pair(do_stable_layer_norm: bool):
     hf_cfg = transformers.HubertConfig(

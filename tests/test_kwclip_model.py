@@ -22,6 +22,9 @@ from speechclip_plus_tpu.models import (
 )
 from speechclip_plus_tpu.models.hubert import HubertConfig
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(branch_type: str, parallel_w=1.0, cascaded_w=1.0) -> KWClipConfig:
     d = 32

@@ -22,6 +22,10 @@ from speechclip_plus_tpu.parallel.mesh import shard_batch
 
 from test_kwclip_model import tiny_cfg
 from speechclip_plus_tpu.models import KWClip
+import pytest
+
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
 
 
 def correlated_batch(rng, n_class=8, per_class=2, T=640, img=32):

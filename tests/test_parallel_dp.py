@@ -22,6 +22,9 @@ from speechclip_plus_tpu.parallel.mesh import shard_batch
 from test_kwclip_model import make_batch, tiny_cfg
 from speechclip_plus_tpu.models import KWClip
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 
 def big_batch(rng, B=8, T=900, img=32):
     wav = rng.randn(B, T).astype(np.float32)

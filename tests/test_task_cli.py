@@ -16,6 +16,9 @@ import pytest
 import yaml
 from PIL import Image
 
+# slow tier: torch-oracle parity / end-to-end (run_test.sh default skips)
+pytestmark = pytest.mark.slow
+
 
 def write_wav(path, n, sr=16000, seed=0):
     rng = np.random.RandomState(seed)
