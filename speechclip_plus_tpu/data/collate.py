@@ -1,21 +1,25 @@
-"""Batching: static-shape padding, length bucketing, threaded prefetch.
+"""Batching: static-shape padding, length bucketing, multi-process decode.
 
 The reference collates ragged wav lists with `pad_sequence`
 (`avssl/data/collate_function.py:7-36`) and feeds a torch DataLoader with
-worker processes (`avssl/task/base_task.py:137-169`). XLA wants a small,
-fixed set of shapes, so here:
+`njobs` worker processes (`avssl/task/base_task.py:137-169`). XLA wants a
+small, fixed set of shapes, so here:
 
   - waveforms are random-cropped (train) then padded up to one of a few
     BUCKET lengths -> a handful of compiled graphs instead of one per length;
   - every batch carries `wav`, `wav_len`, `image`, `id`, `text` and a `valid`
     row mask so the final partial batch can be padded to the full batch size
     (padded rows are excluded from the loss via `valid`);
-  - a background thread pipelines host decode with device compute (the
-    1-process equivalent of the reference's njobs workers; decode is
-    numpy/PIL and releases the GIL in the hot parts).
+  - host decode (wav read + resample, JPEG decode, BPE) runs in
+    `num_workers` forked worker processes (the reference's njobs
+    equivalent), each producing whole collated batches into a result queue;
+    batch order is preserved with a reorder buffer so training is
+    worker-count-invariant. `num_workers=0` falls back to one background
+    prefetch thread (fine for cached/synthetic data and tests).
 """
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -24,8 +28,11 @@ import numpy as np
 
 __all__ = ["pad_to_bucket", "collate_batch", "BucketedLoader", "DEFAULT_BUCKETS"]
 
-# multiples of the HuBERT stride (320); top = reference max_audio_len 102400
-DEFAULT_BUCKETS = (16000, 32000, 48000, 64000, 80000, 102400)
+# multiples of the HuBERT stride (320); top = reference max_audio_len 102400.
+# The low end matters: short utterances (or short max_audio_len crops in
+# tiny/dev configs) must not pad up to 16000 samples — that multiplies frame
+# counts, attention cost and compile time for nothing.
+DEFAULT_BUCKETS = (1920, 3840, 7680, 16000, 32000, 48000, 64000, 80000, 102400)
 
 
 def pad_to_bucket(length: int, buckets: Sequence[int]) -> int:
@@ -74,9 +81,54 @@ def collate_batch(
     return out
 
 
+def _decode_batch(
+    dataset, indices, crop_seed: int, *, batch_size, drop_last, buckets,
+    max_audio_len, train,
+) -> Dict[str, np.ndarray]:
+    """Pure batch decode+collate; module-level so worker processes can run
+    it. One crop-rng per batch keyed on `crop_seed` makes the result
+    identical whatever worker (or thread) executes it."""
+    from .audio import random_crop_max_length
+
+    rng = np.random.RandomState(crop_seed & 0x7FFFFFFF)
+    samples = []
+    for i in indices:
+        s = dict(dataset[int(i)])
+        if train and "wav" in s and max_audio_len > 0:
+            s["wav"] = random_crop_max_length(s["wav"], max_audio_len, rng=rng)
+        samples.append(s)
+    pad_to = batch_size if not drop_last else None
+    return collate_batch(samples, buckets, pad_to_size=pad_to)
+
+
+def _worker_main(dataset, decode_kw, task_q, result_q):
+    """Persistent decode-worker loop (module-level: spawn/forkserver need a
+    picklable target). Exits on the None sentinel."""
+    while True:
+        item = task_q.get()
+        if item is None:
+            return
+        seq, idxs, seed = item
+        try:
+            result_q.put((seq, _decode_batch(dataset, idxs, seed, **decode_kw)))
+        except Exception as e:  # surface decode errors to the consumer
+            try:
+                result_q.put((seq, e))
+            except Exception:
+                result_q.put((seq, RuntimeError(f"unpicklable worker error: {e!r}")))
+
+
 class BucketedLoader:
     """Iterates epoch batches with optional shuffling, length-sorted
-    bucketing (less padding waste) and threaded prefetch."""
+    bucketing (less padding waste) and prefetch via `num_workers` persistent
+    decode worker processes (0 = one background thread).
+
+    Workers use the `forkserver` (fallback `spawn`) start method: plain
+    `fork` from a process with an initialized JAX runtime is a documented
+    deadlock (XLA's threads hold locks across the fork). The pool starts
+    lazily on first iteration, survives across epochs (each worker pays the
+    interpreter+import cost once), and requires the dataset to be picklable
+    — all shipped datasets are plain path/list/array holders."""
 
     def __init__(
         self,
@@ -90,6 +142,7 @@ class BucketedLoader:
         seed: int = 0,
         prefetch: int = 2,
         sort_by_length: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -101,7 +154,9 @@ class BucketedLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.sort_by_length = sort_by_length
+        self.num_workers = max(int(num_workers), 0)
         self._epoch = 0
+        self._pool = None  # (ctx, procs, task_q, result_q), lazily started
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -115,23 +170,19 @@ class BucketedLoader:
             rng.shuffle(idx)
         return idx
 
-    def _make_batch(self, indices, rng) -> Dict[str, np.ndarray]:
-        from .audio import random_crop_max_length
+    @property
+    def _decode_kw(self) -> Dict:
+        return dict(
+            batch_size=self.batch_size, drop_last=self.drop_last,
+            buckets=self.buckets, max_audio_len=self.max_audio_len,
+            train=self.train,
+        )
 
-        samples = []
-        for i in indices:
-            s = dict(self.dataset[int(i)])
-            if self.train and "wav" in s and self.max_audio_len > 0:
-                s["wav"] = random_crop_max_length(
-                    s["wav"], self.max_audio_len, rng=rng
-                )
-            samples.append(s)
-        pad_to = self.batch_size if not self.drop_last else None
-        return collate_batch(samples, self.buckets, pad_to_size=pad_to)
+    def _make_batch(self, indices, crop_seed: int) -> Dict[str, np.ndarray]:
+        return _decode_batch(self.dataset, indices, crop_seed, **self._decode_kw)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _epoch_batches(self) -> List[np.ndarray]:
         rng = np.random.RandomState(self.seed + self._epoch)
-        self._epoch += 1
         order = self._index_order(rng)
         batches = [
             order[i : i + self.batch_size]
@@ -139,14 +190,31 @@ class BucketedLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        return batches
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self._epoch
+        self._epoch += 1
+        batches = self._epoch_batches()
+        # one crop-rng seed per batch: decode results are identical whatever
+        # worker executes the batch (worker-count-invariant training)
+        seeds = [self.seed * 1_000_003 + epoch * 131_071 + i
+                 for i in range(len(batches))]
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess(batches, seeds)
+        else:
+            yield from self._iter_thread(batches, seeds)
+
+    # ---- single background decode thread (tests, cached/synthetic data) ----
+
+    def _iter_thread(self, batches, seeds) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = object()
 
         def worker():
             try:
-                for b in batches:
-                    q.put(self._make_batch(b, rng))
+                for b, s in zip(batches, seeds):
+                    q.put(self._make_batch(b, s))
             finally:
                 q.put(stop)
 
@@ -157,3 +225,71 @@ class BucketedLoader:
             if item is stop:
                 break
             yield item
+
+    # ---- persistent worker-process pool (the reference's njobs) ----
+
+    def _ensure_pool(self):
+        if self._pool is not None:
+            return self._pool
+        try:
+            ctx = mp.get_context("forkserver")
+        except ValueError:
+            ctx = mp.get_context("spawn")
+        task_q = ctx.Queue()
+        result_q = ctx.Queue(maxsize=max(self.prefetch, self.num_workers))
+        procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(self.dataset, self._decode_kw, task_q, result_q),
+                daemon=True,
+            )
+            for _ in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+        self._pool = (procs, task_q, result_q)
+        return self._pool
+
+    def close(self) -> None:
+        """Shut the worker pool down (idempotent)."""
+        if self._pool is None:
+            return
+        procs, task_q, _ = self._pool
+        self._pool = None
+        try:
+            for _ in procs:
+                task_q.put(None)
+            for p in procs:
+                p.join(timeout=5)
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_multiprocess(self, batches, seeds) -> Iterator[Dict[str, np.ndarray]]:
+        procs, task_q, result_q = self._ensure_pool()
+        for seq, (b, s) in enumerate(zip(batches, seeds)):
+            task_q.put((seq, np.asarray(b), s))
+
+        pending: Dict[int, Dict[str, np.ndarray]] = {}
+        next_seq = 0
+        while next_seq < len(batches):
+            while next_seq not in pending:
+                if not any(p.is_alive() for p in procs):
+                    raise RuntimeError("all decode workers died")
+                try:
+                    seq, payload = result_q.get(timeout=300)
+                except queue.Empty as e:
+                    raise RuntimeError("decode workers stalled (300 s)") from e
+                if isinstance(payload, Exception):
+                    self.close()
+                    raise payload
+                pending[seq] = payload
+            yield pending.pop(next_seq)
+            next_seq += 1

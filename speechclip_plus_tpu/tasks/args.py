@@ -16,7 +16,11 @@ def add_general_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentP
                         help="checkpoint to load (orbax dir or Lightning .ckpt)")
     parser.add_argument("--resume", type=str, default=None,
                         help="resume full training state from an orbax dir")
-    parser.add_argument("--njobs", type=int, default=2, help="data-loading threads")
+    parser.add_argument(
+        "--njobs", type=int, default=2,
+        help="data-decode worker processes (reference DataLoader njobs); "
+             "0 = single prefetch thread",
+    )
     parser.add_argument("--devices", type=int, default=-1,
                         help="number of devices for the data mesh (-1 = all); "
                         "replaces the reference --gpus")

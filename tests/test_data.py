@@ -224,3 +224,39 @@ def test_clip_text_processor_roundtrip(tiny_bpe):
     # back to original id 0 = "!", the reference deTokenize quirk - trim it)
     text = proc.detokenize(batch)[0]
     assert text.startswith("the cat runs")
+
+
+def test_multiprocess_loader_matches_thread_loader(flickr_root):
+    """num_workers>0 (forked decode processes, the reference's njobs) must
+    yield byte-identical batches in the same order as the thread path —
+    training is worker-count-invariant."""
+    ds = FlickrDataset(str(flickr_root), split="train")
+    kw = dict(
+        batch_size=3, shuffle=True, drop_last=False,
+        buckets=(8000, 16000), max_audio_len=8000, train=True, seed=3,
+    )
+    ref = list(BucketedLoader(ds, **kw, num_workers=0))
+    got = list(BucketedLoader(ds, **kw, num_workers=2))
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+class _BoomDS:
+    """Module-level (picklable into spawn/forkserver workers)."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        raise RuntimeError("decode failed")
+
+
+def test_multiprocess_loader_propagates_worker_errors():
+    loader = BucketedLoader(_BoomDS(), batch_size=2, shuffle=False, num_workers=1)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)
