@@ -1,0 +1,10 @@
+#!/bin/bash
+# Train original SpeechCLIP parallel (large) on coco.
+# Reference recipe shape: egs/speechCLIP{,+}/**/{train,test}.sh (seed 7122)
+set -e
+EXP_ROOT="${EXP_ROOT:-exp/speechclip_parallel_large_coco}"
+CFG="config/speechclip/large/coco/parallel.yaml"
+mkdir -p "$EXP_ROOT"
+python3 run_task.py TrainKWClip_GeneralTransformer \
+    --config "$CFG" --devices -1 --njobs 4 --seed 7122 --train \
+    --save_path "$EXP_ROOT" "$@"
