@@ -84,6 +84,13 @@ class HubertConfig:
     # attention is near-optimal at the reference's <=320 frames, so this is
     # off by default and intended for long-audio regimes (nn/flash.py)
     use_flash_attention: bool = False
+    # stochastic LayerDrop rate (fairseq `encoder.layerdrop`, set from config
+    # `audio_encoder.layer_drop`, reference speech_encoder_plus.py:407-415).
+    # Active only in training. Static-shape formulation: a dropped layer
+    # becomes identity (its input is passed through and contributes to the
+    # weighted sum), vs fairseq which skips appending it — equivalent
+    # regularization, XLA-compatible (documented deviation, PARITY.md).
+    layer_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -233,16 +240,18 @@ class PositionalConvEmbedding(nn.Module):
 
 
 class _ScanHubertLayer(nn.Module):
-    """scan body: (carry, broadcast bias) -> (new carry, per-layer output)."""
+    """scan body: (carry, per-layer keep, broadcast bias) ->
+    (new carry, per-layer output). `keep` implements LayerDrop as identity."""
 
     cfg: HubertConfig
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, carry, key_padding_bias):
+    def __call__(self, carry, keep, key_padding_bias):
         y = HubertEncoderLayer(self.cfg, name="layer")(
             carry, key_padding_bias, deterministic=self.deterministic
         )
+        y = jnp.where(keep, y, carry)
         return y, y
 
 
@@ -260,11 +269,12 @@ class _ScanHubertLayerFused(nn.Module):
     stop_contrib_gradient: bool = False
 
     @nn.compact
-    def __call__(self, carry, w_i, key_padding_bias):
+    def __call__(self, carry, w_i, keep, key_padding_bias):
         x, acc = carry
         y = HubertEncoderLayer(self.cfg, name="layer")(
             x, key_padding_bias, deterministic=self.deterministic
         )
+        y = jnp.where(keep, y, x)  # LayerDrop: dropped layer = identity
         contrib = y.astype(jnp.float32)
         if self.normalize_contrib:
             mean = contrib.mean(axis=-1, keepdims=True)
@@ -384,10 +394,12 @@ class HubertModel(nn.Module):
         if not c.layer_norm_first:
             x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="encoder_layer_norm")(x)
         else:
-            # parameters exist (for checkpoint parity) but the custom forward
-            # never applies the final LN to hidden states
-            # (reference speech_encoder_plus.py:39-41,58-64)
-            nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="encoder_layer_norm")
+            # parameters must exist (fairseq large ckpts carry
+            # encoder.layer_norm) but the custom forward never applies the
+            # final LN to hidden states (speech_encoder_plus.py:39-41,58-64);
+            # the unused application materializes the params and is
+            # dead-code-eliminated by XLA
+            nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="encoder_layer_norm")(x)
         x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
 
         key_padding_bias = None
@@ -395,6 +407,15 @@ class HubertModel(nn.Module):
             key_padding_bias = jnp.where(
                 feat_padding_mask[:, None, None, :], -1e30, 0.0
             ).astype(jnp.float32)
+
+        # LayerDrop keep mask: one bernoulli per layer per forward (fairseq
+        # drops whole layers batch-wide; reference speech_encoder_plus.py:407)
+        if c.layer_drop > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("layer_drop"), 1.0 - c.layer_drop, (c.n_layers,)
+            )
+        else:
+            keep = jnp.ones((c.n_layers,), bool)
 
         if c.scan_layers and layer_weights is not None:
             # fused weighted-sum path: never materialize the hidden stack
@@ -414,11 +435,11 @@ class HubertModel(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast),
+                in_axes=(0, 0, nn.broadcast),
                 length=c.n_layers,
             )(c, deterministic, normalize_contrib, stop_contrib_gradient,
               name="layers")
-            (x_final, acc), _ = scanned((x, acc), w[1:], key_padding_bias)
+            (x_final, acc), _ = scanned((x, acc), w[1:], keep, key_padding_bias)
             return {
                 "x": x_final,
                 "weighted_sum": acc,
@@ -432,18 +453,19 @@ class HubertModel(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=nn.broadcast,
+                in_axes=(0, nn.broadcast),
                 length=c.n_layers,
             )(c, deterministic, name="layers")
-            x_final, layer_outs = scanned(x, key_padding_bias)
+            x_final, layer_outs = scanned(x, keep, key_padding_bias)
             hidden_states = jnp.concatenate([x[None], layer_outs], axis=0)
             x = x_final
         else:
             hidden = [x]
             for i in range(c.n_layers):
-                x = HubertEncoderLayer(c, name=f"layers_{i}")(
+                y = HubertEncoderLayer(c, name=f"layers_{i}")(
                     x, key_padding_bias, deterministic=deterministic
                 )
+                x = jnp.where(keep[i], y, x)
                 hidden.append(x)
             hidden_states = jnp.stack(hidden, axis=0)
 

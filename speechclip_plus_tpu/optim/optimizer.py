@@ -19,11 +19,13 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..ops.schedulers import get_schedule
 
-__all__ = ["trainable_mask", "build_optimizer"]
+__all__ = ["trainable_mask", "build_optimizer", "audio_subset_mask"]
 
 FROZEN_PREFIXES_DEFAULT = ("audio_encoder", "clip")
 
@@ -54,6 +56,68 @@ def trainable_mask(params: Dict, cfg) -> Dict:
         return jax.tree_util.tree_map(lambda _: lbl, subtree)
 
     return {k: label_tree(k, v) for k, v in params.items()}
+
+
+def audio_subset_mask(params: Dict, cfg) -> Optional[Dict]:
+    """Per-leaf update multipliers realizing the reference's trainable-subset
+    policy (`speech_encoder_plus.py:418-449,478-494`): when `reinit_layers` /
+    `unfreeze_layers` select transformer layers, ONLY those layers train
+    (plus the post-norm final encoder LayerNorm); the conv frontend,
+    post_extract_proj, pos_conv and the remaining layers stay frozen.
+
+    With `scan_layers` the layer params are stacked (L, ...), so the subset
+    cannot be expressed as a pytree label — the mask is a (L,1,..)-shaped
+    multiplier applied to gradients before, and updates after, the inner
+    transform. Returns None when no subset policy is active.
+    """
+    sel = tuple(cfg.reinit_layers) or tuple(cfg.unfreeze_layers)
+    if not (cfg.audio_trainable and sel):
+        return None
+    n_layers = cfg.audio.n_layers
+    keep = np.zeros((n_layers,), np.float32)
+    keep[list(sel)] = 1.0
+
+    def mask_for(key: str, subtree):
+        if key == "layers":  # scanned: leaves have a leading (L, ...) axis
+            return jax.tree_util.tree_map(
+                lambda p: jnp.asarray(keep).reshape(
+                    (n_layers,) + (1,) * (p.ndim - 1)
+                ),
+                subtree,
+            )
+        if key.startswith("layers_"):  # unrolled variant
+            k = float(keep[int(key.split("_")[-1])])
+            return jax.tree_util.tree_map(lambda p: jnp.asarray(k), subtree)
+        if key == "encoder_layer_norm" and not cfg.audio.layer_norm_first:
+            # reference trainable_params adds the final post-norm LN (:489)
+            return jax.tree_util.tree_map(lambda p: jnp.asarray(1.0), subtree)
+        return jax.tree_util.tree_map(lambda p: jnp.asarray(0.0), subtree)
+
+    mask = {
+        k: (
+            {kk: mask_for(kk, vv) for kk, vv in v.items()}
+            if k == "audio_encoder"
+            else jax.tree_util.tree_map(lambda p: jnp.asarray(1.0), v)
+        )
+        for k, v in params.items()
+    }
+    return mask
+
+
+def _apply_subset_mask(tx: optax.GradientTransformation, mask_tree):
+    """Multiply grads going in and updates coming out by the mask tree, so
+    neither grad clipping nor weight decay leaks into frozen layer slices."""
+
+    def init(params):
+        return tx.init(params)
+
+    def update(grads, state, params=None):
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
+        updates, state = tx.update(grads, state, params)
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def build_optimizer(
@@ -90,6 +154,9 @@ def build_optimizer(
     tx = optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, param_labels=labels
     )
+    subset = audio_subset_mask(params, cfg)
+    if subset is not None:
+        tx = _apply_subset_mask(tx, subset)
     if accumulate_grad_batches and accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx

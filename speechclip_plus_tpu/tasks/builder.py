@@ -35,7 +35,37 @@ from ..checkpoint import (
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_model_from_config", "resolve_reduced_vocab"]
+__all__ = [
+    "build_model_from_config",
+    "resolve_reduced_vocab",
+    "reinit_hubert_layers",
+]
+
+
+def reinit_hubert_layers(imported: dict, random_tree: dict, layer_ids) -> dict:
+    """Replace the selected transformer-layer slices of an imported HuBERT
+    tree with freshly-initialized values (reference `reinit_layers`,
+    `speech_encoder_plus.py:418-431`). Works for both the scanned layout
+    (`layers/...` leaves stacked (L, ...)) and the unrolled `layers_{i}`
+    layout."""
+    import jax.numpy as jnp
+
+    ids = sorted(int(i) for i in layer_ids)
+    out = dict(imported)
+    if "layers" in imported:  # scanned
+        def swap(imp, rnd):
+            imp = jnp.asarray(imp)
+            for i in ids:
+                imp = imp.at[i].set(jnp.asarray(rnd)[i])
+            return imp
+
+        out["layers"] = jax.tree_util.tree_map(
+            swap, imported["layers"], random_tree["layers"]
+        )
+        return out
+    for i in ids:  # unrolled
+        out[f"layers_{i}"] = random_tree[f"layers_{i}"]
+    return out
 
 
 def resolve_reduced_vocab(cfg: ConfigNode) -> Optional[ReducedVocab]:
@@ -109,7 +139,16 @@ def build_model_from_config(
     hubert_path = getattr(cfg.audio_encoder, "ckpt_path", None)
     if hubert_path and os.path.exists(hubert_path):
         sd = load_torch_state_dict(hubert_path)
+        random_audio = params["audio_encoder"]  # keep for reinit_layers
         params["audio_encoder"] = fairseq_hubert_to_flax(sd, model_cfg.audio)
+        if model_cfg.reinit_layers:
+            params["audio_encoder"] = reinit_hubert_layers(
+                params["audio_encoder"], random_audio, model_cfg.reinit_layers
+            )
+            logger.warning(
+                "Reinitialized encoder layers %s (reference "
+                "speech_encoder_plus.py:420-422)", model_cfg.reinit_layers,
+            )
         logger.info("Loaded HuBERT weights from %s", hubert_path)
     else:
         logger.warning(
