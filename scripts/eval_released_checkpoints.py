@@ -23,19 +23,108 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def expected_from_name(path: str):
-    m = re.search(r"_(\d+(?:\.\d+)?)\.ckpt$", os.path.basename(path))
+    """val_recall_mean_10 encoded in the filename: either the upstream
+    `...val_recall_mean_10=42.1100.ckpt` form (download_ckpts.sh:1-24) or
+    this repo's `<size>_<ds>_<family>_42.1100.ckpt` form."""
+    name = os.path.basename(path)
+    m = re.search(r"val_recall_mean_10[=%3D]+(\d+(?:\.\d+)?)", name)
+    if m:
+        return float(m.group(1))
+    m = re.search(r"_(\d+(?:\.\d+)?)\.ckpt$", name)
     return float(m.group(1)) if m else None
+
+
+# (size, dataset, family, expected val_recall_mean_10) for the 9 released
+# checkpoints (reference download_ckpts.sh:1-24) -> this repo's config path
+RELEASED = [
+    ("base", "flickr", "cascaded_plus", 42.11),
+    ("base", "flickr", "hybrid", 80.01),
+    ("base", "flickr", "hybrid_plus", 81.03),
+    ("large", "flickr", "cascaded_plus", 60.05),
+    ("large", "flickr", "hybrid", 90.10),
+    ("large", "flickr", "hybrid_plus", 89.35),
+    ("large", "coco", "cascaded_plus", 31.2973),
+    ("large", "coco", "hybrid", 79.2988),
+    ("large", "coco", "hybrid_plus", 83.5408),
+]
+
+
+def config_path_for(size: str, dataset: str, family: str) -> str:
+    root = os.path.join(os.path.dirname(__file__), "..", "config",
+                        "speechclip_plus")
+    if size == "base":
+        return os.path.join(root, "base", f"{family}.yaml")
+    return os.path.join(root, "large", dataset, f"{family}.yaml")
+
+
+def dry_run() -> int:
+    """Exercise the import path end-to-end without weights: for each released
+    checkpoint, resolve its config + reduced vocab, build the typed model
+    config and trace `model.init` shapes (jax.eval_shape — no compute). This
+    is what CI can prove in a zero-egress environment."""
+    import jax
+    import numpy as np
+
+    from speechclip_plus_tpu.config import load_config
+    from speechclip_plus_tpu.models import KWClip, KWClipConfig
+    from speechclip_plus_tpu.tasks.builder import resolve_reduced_vocab
+
+    failures = 0
+    for size, dataset, family, expected in RELEASED:
+        path = config_path_for(size, dataset, family)
+        try:
+            cfg = load_config(path)
+            vocab = resolve_reduced_vocab(cfg)
+            mc = KWClipConfig.from_config(
+                cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
+                eot_id=int(vocab.eot_reduced),
+            )
+            model = KWClip(mc)
+            import jax.numpy as jnp
+
+            batch = {
+                "wav": jnp.zeros((2, 3200), jnp.float32),
+                "wav_len": jnp.asarray([3200, 2880]),
+                "image": jnp.zeros(
+                    (2, mc.clip.image_resolution, mc.clip.image_resolution, 3),
+                    jnp.float32,
+                ),
+                "id": jnp.asarray([0, 1]),
+                "text": jnp.zeros((2, mc.clip.context_length), jnp.int32),
+            }
+            shapes = jax.eval_shape(
+                lambda r, b: model.init(r, b, training=False),
+                jax.random.PRNGKey(0), batch,
+            )
+            n_params = sum(
+                int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(shapes["params"])
+            )
+            print(f"OK   {size}/{dataset}/{family}: expected "
+                  f"recall_mean_10={expected}, {n_params/1e6:.1f}M params, "
+                  f"branch={mc.branch_type or 'parallel-only'}")
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failures += 1
+            print(f"FAIL {size}/{dataset}/{family}: {type(e).__name__}: {e}")
+    return failures
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt_dir", required=True)
+    ap.add_argument("--ckpt_dir", default=None)
     ap.add_argument("--flickr_root", default=None)
     ap.add_argument("--coco_root", default=None)
     ap.add_argument("--tolerance", type=float, default=1.0,
                     help="max |got - expected| recall points")
     ap.add_argument("--devices", type=int, default=-1)
+    ap.add_argument("--dry", action="store_true",
+                    help="no weights/data: build every released-ckpt config "
+                         "and trace model shapes (CI-viable)")
     args = ap.parse_args()
+
+    if args.dry:
+        sys.exit(1 if dry_run() else 0)
+    assert args.ckpt_dir, "--ckpt_dir required unless --dry"
 
     import speechclip_plus_tpu.tasks as tasks
 
