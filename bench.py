@@ -2,18 +2,20 @@
 """Throughput benchmark: audio-image pairs/sec/chip on the flagship model.
 
 Measures the FULL training step (forward + contrastive loss on the global
-batch + backward + Adam update) of SpeechCLIP+ hybrid+ base (HuBERT-base +
-CLIP ViT-B/32 + CIF) on synthetic data at reference shapes (6.4 s crops =
-`max_audio_len: 102400`, 224x224 images), bf16 towers / fp32 loss.
+batch + backward + Adam update) of SpeechCLIP+ hybrid+ base, built THROUGH
+THE PRODUCT PATH: the shipped YAML (`config/speechclip_plus/base/
+hybrid_plus.yaml`, bf16 towers via `trainer.precision`) -> KWClipConfig ->
+the same `make_train_step`/optimizer the Trainer uses. Synthetic data at
+reference shapes (6.4 s crops = `max_audio_len: 102400`, 224x224 images).
 
-Baseline: the reference publishes no throughput numbers (SURVEY §6). For
-`vs_baseline` this script measures a local PyTorch baseline — the same
-frozen towers (HF HubertModel-base + CLIPModel ViT-B/32, random weights,
-eval mode, forward only, i.e. a *lower bound* on the reference's per-pair
-work) on this host's CPU — unless a cached `bench_baseline.json` exists.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Honest readout: besides pairs/s the JSON line carries the mean step time,
+XLA's own FLOP estimate for the compiled step, achieved TFLOP/s and MFU
+against the chip's bf16 peak. `vs_baseline` divides by a torch-CPU
+forward-only run of the same frozen towers (the reference publishes no
+throughput numbers, SURVEY §6) — a *lower bound* on reference per-pair work,
+labeled as such in `baseline_kind`.
 
-Env knobs: BENCH_BATCH (default 16), BENCH_WAV_LEN (default 102400),
+Env knobs: BENCH_BATCH (default 128), BENCH_WAV_LEN (default 102400),
 BENCH_STEPS (default 10), BENCH_SKIP_TORCH=1 to reuse/skip the baseline.
 """
 import json
@@ -27,43 +29,79 @@ WAV_LEN = int(os.environ.get("BENCH_WAV_LEN", "102400"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
+# bf16 peak TFLOP/s per chip (dense): v5e=197, v4=275, v5p=459, v6e=918
+PEAK_TFLOPS = {
+    "v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0,
+    "v6 lite": 918.0, "v6e": 918.0,
+}
 
-def bench_tpu() -> float:
+
+def _chip_peak(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in PEAK_TFLOPS.items():
+        if key in kind:
+            return peak
+    return float("nan")
+
+
+def _product_path_setup():
+    """Flagship model + train step exactly as run_task.py builds them."""
     import jax
-    import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg, _make_batch
-    from speechclip_plus_tpu.models import KWClip
-    from speechclip_plus_tpu.optim import build_optimizer
+    from speechclip_plus_tpu.config import load_config
+    from speechclip_plus_tpu.models import KWClip, KWClipConfig
+    from speechclip_plus_tpu.optim.optimizer import build_optimizer_from_config
     from speechclip_plus_tpu.parallel import create_train_state, make_train_step
+    from speechclip_plus_tpu.tasks.builder import resolve_reduced_vocab
 
-    import dataclasses
-
-    cfg = _flagship_cfg()
-    # bf16 towers (MXU-native); losses/statistics stay fp32 inside ops
-    cfg = dataclasses.replace(
-        cfg,
-        audio=dataclasses.replace(cfg.audio, dtype=jnp.bfloat16),
-        clip=dataclasses.replace(cfg.clip, dtype=jnp.bfloat16),
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "config",
+                                   "speechclip_plus", "base", "hybrid_plus.yaml"))
+    vocab = resolve_reduced_vocab(cfg)
+    model_cfg = KWClipConfig.from_config(
+        cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
+        eot_id=int(vocab.eot_reduced),
     )
-    model = KWClip(cfg)
-    rng = np.random.RandomState(0)
-    batch = _make_batch(rng, B=BATCH, T=WAV_LEN, img=cfg.clip.image_resolution)
+    assert str(model_cfg.audio.dtype).endswith("bfloat16"), (
+        "product path must train bf16 (trainer.precision)"
+    )
+    model = KWClip(model_cfg)
 
+    from __graft_entry__ import _make_batch
+
+    rng = np.random.RandomState(0)
+    batch = _make_batch(rng, B=BATCH, T=WAV_LEN, img=model_cfg.clip.image_resolution)
     # init at a tiny batch: the init forward is shape-polymorphic over B and
     # initializing at full batch doubles peak HBM next to the optimizer state
-    init_batch = _make_batch(rng, B=2, T=WAV_LEN, img=cfg.clip.image_resolution)
+    init_batch = _make_batch(rng, B=2, T=WAV_LEN, img=model_cfg.clip.image_resolution)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)}, init_batch, training=False
     )
-    tx = build_optimizer(
-        variables["params"], cfg,
-        scheduler_args={"warmup": 5000, "max_step": 50000, "final_lr": 1e-8},
-    )
+    tx = build_optimizer_from_config(variables["params"], model_cfg, cfg)
     state = create_train_state(model, variables, tx)
-    del variables  # single live copy of the params next to the opt state
-    step = make_train_step(model, tx, mesh=None, donate=True)
+    del variables
+    accum = int(cfg.trainer.accumulate_grad_batches or 1)
+    step = make_train_step(model, tx, mesh=None, donate=True,
+                           accumulate_grad_batches=accum)
+    return model, state, step, batch
+
+
+def bench_tpu() -> dict:
+    import jax
+
+    model, state, step, batch = _product_path_setup()
     key = jax.random.PRNGKey(1)
+
+    # XLA's own FLOP estimate for the compiled step (MXU work dominates).
+    # NOTE: .lower().compile() shares the jit cache with the timed calls, so
+    # this does not add a second compilation.
+    flops = float("nan")
+    try:
+        cost = step.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        pass
 
     # warmup / compile
     state, metrics = step(state, batch, key)
@@ -75,8 +113,21 @@ def bench_tpu() -> float:
         # backends block_until_ready alone does not reliably drain the queue
         _ = float(metrics["train_loss"])
     dt = time.perf_counter() - t0
-    n_dev = 1  # single-chip bench; the step itself is mesh-scalable
-    return BATCH * STEPS / dt / n_dev
+    step_s = dt / STEPS
+    pairs_per_sec = BATCH / step_s
+
+    peak = _chip_peak(jax.devices()[0])
+    achieved_tflops = flops / step_s / 1e12 if flops == flops else float("nan")
+    mfu = achieved_tflops / peak if peak == peak else float("nan")
+    return {
+        "pairs_per_sec": pairs_per_sec,
+        "step_ms": step_s * 1e3,
+        "xla_flops_per_step": flops,
+        "achieved_tflops": achieved_tflops,
+        "peak_tflops": peak,
+        "mfu": mfu,
+        "device": str(jax.devices()[0].device_kind),
+    }
 
 
 def bench_torch_cpu() -> float:
@@ -124,14 +175,27 @@ def get_baseline() -> float:
 
 
 def main():
-    value = bench_tpu()
+    stats = bench_tpu()
     baseline = get_baseline()
+    value = stats["pairs_per_sec"]
     vs = value / baseline if baseline == baseline and baseline > 0 else 0.0
+
+    def r(x, n=3):
+        return round(x, n) if x == x else None
+
     print(json.dumps({
         "metric": "hybrid_plus_base_train_pairs_per_sec_per_chip",
-        "value": round(value, 3),
+        "value": r(value),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": r(vs),
+        "baseline_kind": "torch_cpu_frozen_tower_forward_lower_bound",
+        "step_ms": r(stats["step_ms"], 2),
+        "achieved_tflops": r(stats["achieved_tflops"], 2),
+        "peak_tflops": r(stats["peak_tflops"], 1),
+        "mfu": r(stats["mfu"], 4),
+        "batch": BATCH,
+        "device": stats["device"],
+        "path": "product (YAML->KWClipConfig->make_train_step)",
     }))
 
 
