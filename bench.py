@@ -61,7 +61,9 @@ def _product_path_setup():
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
         eot_id=int(vocab.eot_reduced),
     )
-    assert str(model_cfg.audio.dtype).endswith("bfloat16"), (
+    import jax.numpy as jnp
+
+    assert jnp.dtype(model_cfg.audio.dtype) == jnp.dtype(jnp.bfloat16), (
         "product path must train bf16 (trainer.precision)"
     )
     model = KWClip(model_cfg)
@@ -119,6 +121,33 @@ def bench_tpu() -> dict:
     peak = _chip_peak(jax.devices()[0])
     achieved_tflops = flops / step_s / 1e12 if flops == flops else float("nan")
     mfu = achieved_tflops / peak if peak == peak else float("nan")
+
+    # The real product path caches the frozen image-tower embeddings
+    # (data.cache_image_embeddings defaults ON for frozen towers,
+    # tasks/base_task.py) — the ViT never runs in a training step. Report
+    # that rate too; the headline metric stays the live-tower full step so
+    # rounds stay comparable.
+    cached_pairs_per_sec = float("nan")
+    if not os.environ.get("BENCH_SKIP_CACHED"):
+        try:
+            @jax.jit
+            def _embed(params, image):
+                return model.apply({"params": params}, image,
+                                   method=model.encode_image_raw)
+
+            image_feat = _embed(state.params, batch["image"])
+            cached_batch = {k: v for k, v in batch.items() if k != "image"}
+            cached_batch["image_feat"] = image_feat
+            state, metrics = step(state, cached_batch, key)
+            _ = float(metrics["train_loss"])
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                state, metrics = step(state, cached_batch, key)
+                _ = float(metrics["train_loss"])
+            cached_pairs_per_sec = BATCH / ((time.perf_counter() - t0) / STEPS)
+        except Exception as e:
+            print(f"cached-image bench failed: {e!r}")
+
     return {
         "pairs_per_sec": pairs_per_sec,
         "step_ms": step_s * 1e3,
@@ -126,6 +155,7 @@ def bench_tpu() -> dict:
         "achieved_tflops": achieved_tflops,
         "peak_tflops": peak,
         "mfu": mfu,
+        "cached_pairs_per_sec": cached_pairs_per_sec,
         "device": str(jax.devices()[0].device_kind),
     }
 
@@ -193,6 +223,7 @@ def main():
         "achieved_tflops": r(stats["achieved_tflops"], 2),
         "peak_tflops": r(stats["peak_tflops"], 1),
         "mfu": r(stats["mfu"], 4),
+        "cached_image_pairs_per_sec": r(stats["cached_pairs_per_sec"]),
         "batch": BATCH,
         "device": stats["device"],
         "path": "product (YAML->KWClipConfig->make_train_step)",

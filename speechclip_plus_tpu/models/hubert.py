@@ -118,6 +118,35 @@ class HubertConfig:
         )
 
     @staticmethod
+    def from_upstream_name(name: str) -> "HubertConfig":
+        """Map an s3prl / reference `audio_encoder.name` to a tower config.
+
+        The reference accepts any `s3prl.hub` upstream name
+        (`speech_encoder_plus.py:110-146`) but every shipped config and
+        released checkpoint uses the HuBERT family. This rebuild implements
+        the wav2vec2/HuBERT *architecture* family natively (identical tower:
+        conv frontend + transformer; fairseq HuBERT is a wav2vec2-arch
+        model), so both name families resolve here — wav2vec2 checkpoints
+        load through the same fairseq importer (`checkpoint/towers.py:
+        fairseq_hubert_to_flax`; the extra quantizer/mask_emb keys in a
+        wav2vec2 ckpt are simply not referenced). Other s3prl upstreams
+        (apc, vq-apc, tera, decoar, ...) are different architectures and
+        are out of scope — a clear error beats a silent fallback.
+        """
+        n = name.lower()
+        if "hubert" in n or "wav2vec2" in n or "wav2vec" in n:
+            return (
+                HubertConfig.large() if "large" in n else HubertConfig.base()
+            )
+        raise NotImplementedError(
+            f"audio_encoder.name={name!r}: the TPU rebuild implements the "
+            "wav2vec2/HuBERT tower family (hubert_base, hubert_large_ll60k, "
+            "wav2vec2_base, wav2vec2_large_ll60k, ...); other s3prl "
+            "upstreams are out of scope (reference "
+            "speech_encoder_plus.py:110-146 delegates to s3prl.hub)"
+        )
+
+    @staticmethod
     def tiny(**kw) -> "HubertConfig":
         """Small config for tests."""
         defaults = dict(

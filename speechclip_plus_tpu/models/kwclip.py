@@ -178,10 +178,10 @@ class KWClipConfig:
             audio_cfg = HubertConfig.tiny(
                 d_model=int(getattr(cfg.audio_encoder, "tiny_width", 32))
             )
-        elif "large" in audio_name:
-            audio_cfg = HubertConfig.large()
         else:
-            audio_cfg = HubertConfig.base()
+            # s3prl-style upstream name -> tower config (wav2vec2/HuBERT
+            # family supported natively; others raise, see hubert.py)
+            audio_cfg = HubertConfig.from_upstream_name(audio_name)
 
         # trainer.precision drives the tower compute dtype: the reference
         # trains fp16 via Lightning (`spchclip_h+.yaml:141`, `base_task.py:197`);

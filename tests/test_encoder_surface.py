@@ -175,3 +175,86 @@ def test_reinit_hubert_layers_swaps_slices():
     np.testing.assert_array_equal(got[1], np.zeros(4))
     np.testing.assert_array_equal(got[0], imported["layers"]["layer"]["w"][0])
     np.testing.assert_array_equal(out["pos_conv"]["k"], imported["pos_conv"]["k"])
+
+
+# --------------------------------------------------- s3prl upstream names ----
+
+
+def test_upstream_name_registry_covers_wav2vec2_family():
+    """wav2vec2 shares the HuBERT tower architecture; both name families
+    resolve (reference speech_encoder_plus.py:110-146 accepts any s3prl hub
+    name; every other upstream is a different architecture and raises)."""
+    from speechclip_plus_tpu.models.hubert import HubertConfig
+
+    for name in ("hubert", "hubert_base", "wav2vec2", "wav2vec2_base_960"):
+        cfg = HubertConfig.from_upstream_name(name)
+        assert cfg.d_model == 768 and cfg.n_layers == 12
+    for name in ("hubert_large_ll60k", "wav2vec2_large_ll60k"):
+        cfg = HubertConfig.from_upstream_name(name)
+        assert cfg.d_model == 1024 and cfg.n_layers == 24
+        assert cfg.layer_norm_first and cfg.extractor_mode == "layer_norm"
+    with pytest.raises(NotImplementedError):
+        HubertConfig.from_upstream_name("apc")
+
+
+def test_fairseq_wav2vec2_sd_imports_through_hubert_converter():
+    """A fairseq wav2vec2 state dict has the same tower keys as HuBERT plus
+    quantizer/mask_emb extras; the converter must ignore the extras and
+    produce params that drive the Flax tower."""
+    from speechclip_plus_tpu.checkpoint.towers import fairseq_hubert_to_flax
+    from speechclip_plus_tpu.models.hubert import HubertConfig, HubertModel
+
+    cfg = HubertConfig.tiny()
+    rng = np.random.RandomState(0)
+    sd = {}
+    t_in = 1
+    for i, (ch, k, s) in enumerate(cfg.conv_layers):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = rng.randn(
+            ch, t_in, k
+        ).astype(np.float32)
+        t_in = ch
+    sd["feature_extractor.conv_layers.0.2.weight"] = rng.randn(
+        cfg.conv_layers[0][0]
+    ).astype(np.float32)
+    sd["feature_extractor.conv_layers.0.2.bias"] = rng.randn(
+        cfg.conv_layers[0][0]
+    ).astype(np.float32)
+    sd["layer_norm.weight"] = rng.randn(cfg.conv_layers[-1][0]).astype(np.float32)
+    sd["layer_norm.bias"] = rng.randn(cfg.conv_layers[-1][0]).astype(np.float32)
+    sd["post_extract_proj.weight"] = rng.randn(
+        cfg.d_model, cfg.conv_layers[-1][0]
+    ).astype(np.float32)
+    sd["post_extract_proj.bias"] = rng.randn(cfg.d_model).astype(np.float32)
+    sd["encoder.pos_conv.0.weight"] = rng.randn(
+        cfg.d_model, cfg.d_model // cfg.conv_pos_groups, cfg.conv_pos
+    ).astype(np.float32)
+    sd["encoder.pos_conv.0.bias"] = rng.randn(cfg.d_model).astype(np.float32)
+    sd["encoder.layer_norm.weight"] = rng.randn(cfg.d_model).astype(np.float32)
+    sd["encoder.layer_norm.bias"] = rng.randn(cfg.d_model).astype(np.float32)
+    for i in range(cfg.n_layers):
+        lp = f"encoder.layers.{i}."
+        for proj in ("self_attn.q_proj", "self_attn.k_proj",
+                     "self_attn.v_proj", "self_attn.out_proj"):
+            sd[f"{lp}{proj}.weight"] = rng.randn(
+                cfg.d_model, cfg.d_model
+            ).astype(np.float32)
+            sd[f"{lp}{proj}.bias"] = rng.randn(cfg.d_model).astype(np.float32)
+        sd[f"{lp}fc1.weight"] = rng.randn(cfg.ffn_dim, cfg.d_model).astype(np.float32)
+        sd[f"{lp}fc1.bias"] = rng.randn(cfg.ffn_dim).astype(np.float32)
+        sd[f"{lp}fc2.weight"] = rng.randn(cfg.d_model, cfg.ffn_dim).astype(np.float32)
+        sd[f"{lp}fc2.bias"] = rng.randn(cfg.d_model).astype(np.float32)
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            sd[f"{lp}{ln}.weight"] = rng.randn(cfg.d_model).astype(np.float32)
+            sd[f"{lp}{ln}.bias"] = rng.randn(cfg.d_model).astype(np.float32)
+    # wav2vec2-only extras the converter must not choke on
+    sd["mask_emb"] = rng.randn(cfg.d_model).astype(np.float32)
+    sd["quantizer.vars"] = rng.randn(1, 640, 128).astype(np.float32)
+    sd["project_q.weight"] = rng.randn(256, 256).astype(np.float32)
+    sd["final_proj.weight"] = rng.randn(256, cfg.d_model).astype(np.float32)
+
+    params = fairseq_hubert_to_flax(sd, cfg)
+    model = HubertModel(cfg)
+    wav = jnp.asarray(rng.randn(2, 4000).astype(np.float32))
+    out = model.apply({"params": params}, wav)
+    assert out["hidden_states"].shape[0] == cfg.n_layers + 1
+    assert np.isfinite(np.asarray(out["x"])).all()
