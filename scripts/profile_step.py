@@ -20,13 +20,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timed(fn, *args, iters=5):
-    import jax
-
-    jax.block_until_ready(fn(*args))  # compile
+    """Each fn must return a SCALAR; float() forces a real host sync (on the
+    remote axon backend block_until_ready does not drain the queue)."""
+    float(fn(*args))  # compile + first sync
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -99,8 +99,9 @@ def main():
 
     @jax.jit
     def conv_front(p, w):
-        return ConvFeatureExtractor(hub_cfg).apply(
+        out = ConvFeatureExtractor(hub_cfg).apply(
             {"params": p["feature_extractor"]}, w)
+        return out.astype(jnp.float32).sum()
 
     results["hubert_conv_frontend_fwd"] = timed(conv_front, audio_params, wav,
                                                 iters=args.iters)
@@ -109,14 +110,15 @@ def main():
 
     @jax.jit
     def hub_full(p, w, m):
-        return hub.apply({"params": p}, w, m)["x"]
+        return hub.apply({"params": p}, w, m)["x"].astype(jnp.float32).sum()
 
     results["hubert_tower_fwd"] = timed(hub_full, audio_params, wav, wav_pad,
                                         iters=args.iters)
 
     @jax.jit
     def img_fwd(p, im):
-        return model.apply({"params": p}, im, method=model.encode_image_raw)
+        out = model.apply({"params": p}, im, method=model.encode_image_raw)
+        return out.astype(jnp.float32).sum()
 
     results["clip_image_tower_fwd"] = timed(img_fwd, params, batch["image"],
                                             iters=args.iters)
@@ -136,7 +138,7 @@ def main():
                 method=lambda m: m.clip.encode_keywords(kw, kw_num),
             )
             return (out.astype(jnp.float32) ** 2).sum()
-        return jax.grad(f)(kw)
+        return jax.grad(f)(kw).astype(jnp.float32).sum()
 
     try:
         results["clip_text_tower_fwd_bwd"] = timed(text_fwd_bwd, params, kw,

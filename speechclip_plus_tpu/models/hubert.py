@@ -29,7 +29,7 @@ Two architecture variants, as in fairseq:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -91,6 +91,21 @@ class HubertConfig:
     # weighted sum), vs fairseq which skips appending it — equivalent
     # regularization, XLA-compatible (documented deviation, PARITY.md).
     layer_drop: float = 0.0
+    # conv frontend lowering (all impls share math + param shapes):
+    #   "xla"    = lax.conv_general_dilated via nn.Conv everywhere;
+    #   "matmul" = explicit strided-patch extraction + MXU matmul per layer;
+    #   "hybrid" = patches-matmul only where XLA's conv lowering is
+    #              pathological (tiny contraction: cin*k < 128, i.e. the
+    #              waveform layer 0), XLA conv elsewhere.
+    # Measured on v5e at the reference shape (B=128, T=102400): xla 91 ms
+    # (48.6 ms of it in layer 0 at 0.6 TFLOP/s: cin=1/k=10 leaves the
+    # systolic array idle), matmul 160 ms (the (B,T',K*C) im2col tensor
+    # spills to HBM on layers 1+), hybrid 143 ms (the layer-0 patch
+    # tensors have sub-lane minor dims and get layout-padded 128/10x).
+    # "xla" is the best all-XLA lowering and the default; the layer-0
+    # pathology is attacked by the Pallas fused conv0+GN+GELU kernel in
+    # ops/conv_frontend.py (cfg.use_pallas_conv0).
+    conv_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -206,6 +221,50 @@ def downsample_padding_mask(
     return jnp.all(wav_padding_mask.reshape(b, n_frames, -1), axis=-1)
 
 
+class _PatchConv(nn.Module):
+    """Strided 1-D VALID conv as slice+concat patches -> one MXU matmul.
+
+    Same math and the same param tree (`kernel` (K, Cin, Cout) + optional
+    `bias`) as `nn.Conv`, so checkpoints are layout-compatible. The HuBERT
+    frontend convs have stride >= 2, so patch extraction is k strided
+    slices — nothing is gathered and the overlap blow-up is bounded by
+    k/s <= 2x (layer 0) / 1.5x (k=3,s=2). XLA's TPU conv lowering handles
+    C_in=1 / small-C badly for these shapes; the explicit (B*T', K*Cin) @
+    (K*Cin, Cout) form tiles straight onto the systolic array.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, cin = x.shape
+        k, s = self.kernel_size, self.stride
+        t_out = (t - k) // s + 1
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, cin, self.features),
+        ).astype(self.dtype)
+        cols = [
+            jax.lax.slice(x, (0, j, 0), (b, j + (t_out - 1) * s + 1, cin), (1, s, 1))
+            for j in range(k)
+        ]
+        patches = jnp.concatenate(cols, axis=-1)  # (B, T', K*Cin)
+        out = patches.reshape(b * t_out, k * cin) @ kernel.reshape(
+            k * cin, self.features
+        )
+        out = out.reshape(b, t_out, self.features)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            ).astype(self.dtype)
+            out = out + bias
+        return out
+
+
 class ConvFeatureExtractor(nn.Module):
     """Waveform -> frame features, fairseq ConvFeatureExtractionModel parity.
 
@@ -219,16 +278,31 @@ class ConvFeatureExtractor(nn.Module):
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         # (B, T) -> (B, T, 1); channel-last throughout (XLA TPU-native layout)
         x = wav[:, :, None].astype(self.cfg.dtype)
+        cin = 1
         for i, (ch, k, s) in enumerate(self.cfg.conv_layers):
-            x = nn.Conv(
-                features=ch,
-                kernel_size=(k,),
-                strides=(s,),
-                padding="VALID",
-                use_bias=self.cfg.conv_bias,
-                dtype=self.cfg.dtype,
-                name=f"conv_{i}",
-            )(x)
+            use_patches = self.cfg.conv_impl == "matmul" or (
+                self.cfg.conv_impl == "hybrid" and cin * k < 128
+            )
+            cin = ch
+            if use_patches:
+                x = _PatchConv(
+                    features=ch,
+                    kernel_size=k,
+                    stride=s,
+                    use_bias=self.cfg.conv_bias,
+                    dtype=self.cfg.dtype,
+                    name=f"conv_{i}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    features=ch,
+                    kernel_size=(k,),
+                    strides=(s,),
+                    padding="VALID",
+                    use_bias=self.cfg.conv_bias,
+                    dtype=self.cfg.dtype,
+                    name=f"conv_{i}",
+                )(x)
             if self.cfg.extractor_mode == "group_norm" and i == 0:
                 # torch GroupNorm(C, C): per-channel stats over time, fp32
                 x = nn.GroupNorm(

@@ -173,3 +173,41 @@ def test_fused_weighted_sum_matches_stack():
     import optax
 
     assert float(optax.global_norm(g_p)) == 0.0
+
+
+def test_conv_impl_matmul_matches_xla_and_param_layout():
+    """The strided-patch matmul lowering must be numerically identical to
+    the XLA conv lowering and share its param tree (checkpoints are
+    interchangeable between the two impls)."""
+    import dataclasses
+
+    from speechclip_plus_tpu.models.hubert import ConvFeatureExtractor
+
+    for mode, bias in [("group_norm", False), ("layer_norm", True)]:
+        cfg_m = HubertConfig(
+            conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+            extractor_mode=mode, conv_bias=bias, conv_impl="matmul",
+        )
+        cfg_h = dataclasses.replace(cfg_m, conv_impl="hybrid")
+        cfg_x = dataclasses.replace(cfg_m, conv_impl="xla")
+        wav = jnp.asarray(
+            np.random.RandomState(0).randn(2, 2000).astype(np.float32)
+        )
+        pm = ConvFeatureExtractor(cfg_m).init(
+            {"params": jax.random.PRNGKey(0)}, wav
+        )
+        px = ConvFeatureExtractor(cfg_x).init(
+            {"params": jax.random.PRNGKey(0)}, wav
+        )
+        assert jax.tree_util.tree_structure(pm) == jax.tree_util.tree_structure(px)
+        for a, b in zip(jax.tree_util.tree_leaves(pm), jax.tree_util.tree_leaves(px)):
+            assert a.shape == b.shape
+        out_m = ConvFeatureExtractor(cfg_m).apply(pm, wav)
+        out_h = ConvFeatureExtractor(cfg_h).apply(pm, wav)
+        out_x = ConvFeatureExtractor(cfg_x).apply(pm, wav)
+        np.testing.assert_allclose(
+            np.asarray(out_m), np.asarray(out_x), atol=2e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-5, rtol=1e-5
+        )
