@@ -21,13 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, iters=10):
+def timed(fn, *args, iters=5, chain=10):
+    """Chained timing: `chain` async dispatches per sync — a single float()
+    costs a ~33 ms tunnel RTT on the axon backend."""
     float(fn(*args))  # compile + sync (axon: float() forces host sync)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
+        outs = [fn(*args) for _ in range(chain)]
+        float(outs[-1])
+        times.append((time.perf_counter() - t0) / chain)
     return min(times)
 
 

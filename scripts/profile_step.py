@@ -19,15 +19,19 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, *args, iters=5):
-    """Each fn must return a SCALAR; float() forces a real host sync (on the
-    remote axon backend block_until_ready does not drain the queue)."""
+def timed(fn, *args, iters=5, chain=10):
+    """Each fn must return a SCALAR. Chained timing: dispatch `chain` async
+    calls, ONE host sync at the end — on the remote axon backend every
+    float() costs a ~33 ms tunnel round trip, which would otherwise be
+    billed to each measurement (block_until_ready alone does not drain the
+    queue there, so the sync must be a value fetch)."""
     float(fn(*args))  # compile + first sync
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
+        outs = [fn(*args) for _ in range(chain)]
+        float(outs[-1])
+        times.append((time.perf_counter() - t0) / chain)
     return min(times)
 
 

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.attention import dot_product_attention
+from ..ops.gelu import fast_gelu
 
 __all__ = [
     "HubertConfig",
@@ -97,14 +98,15 @@ class HubertConfig:
     #   "hybrid" = patches-matmul only where XLA's conv lowering is
     #              pathological (tiny contraction: cin*k < 128, i.e. the
     #              waveform layer 0), XLA conv elsewhere.
-    # Measured on v5e at the reference shape (B=128, T=102400): xla 91 ms
-    # (48.6 ms of it in layer 0 at 0.6 TFLOP/s: cin=1/k=10 leaves the
-    # systolic array idle), matmul 160 ms (the (B,T',K*C) im2col tensor
-    # spills to HBM on layers 1+), hybrid 143 ms (the layer-0 patch
-    # tensors have sub-lane minor dims and get layout-padded 128/10x).
-    # "xla" is the best all-XLA lowering and the default; the layer-0
-    # pathology is attacked by the Pallas fused conv0+GN+GELU kernel in
-    # ops/conv_frontend.py (cfg.use_pallas_conv0).
+    # Measured on v5e at the reference shape (B=128, T=102400, RTT-corrected
+    # chained timing): xla frontend ~58 ms, matmul ~127 ms (the (B,T',K*C)
+    # im2col tensor spills to HBM), hybrid ~110 ms (layer-0 patch tensors
+    # have sub-lane minor dims and get layout-padded 128/10x). The layer-0
+    # conv itself is ~6 ms under XLA — the frontend's real elementwise cost
+    # was exact erf-GELU, replaced by ops/gelu.fast_gelu for bf16. "xla" is
+    # the default; the alternates are kept for A/B on new hardware, and
+    # ops/conv_frontend.conv0_pallas (deinterleaved two-matmul form) exists
+    # for regimes where XLA's C_in=1 conv lowering regresses.
     conv_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -311,7 +313,7 @@ class ConvFeatureExtractor(nn.Module):
                 )(x)
             elif self.cfg.extractor_mode == "layer_norm":
                 x = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name=f"ln_{i}")(x)
-            x = nn.gelu(x, approximate=False)
+            x = fast_gelu(x)
         return x  # (B, T', C)
 
 
@@ -339,7 +341,7 @@ class PositionalConvEmbedding(nn.Module):
         )(x)
         if k % 2 == 0:  # SamePad: drop the trailing frame for even kernels
             out = out[:, :-1, :]
-        return nn.gelu(out, approximate=False)
+        return fast_gelu(out)
 
 
 class _ScanHubertLayer(nn.Module):
@@ -437,7 +439,7 @@ class HubertEncoderLayer(nn.Module):
 
         def ffn(h):
             h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(h)
-            h = nn.gelu(h, approximate=False)
+            h = fast_gelu(h)
             h = nn.Dropout(c.activation_dropout)(h, deterministic=deterministic)
             return nn.Dense(c.d_model, dtype=c.dtype, name="fc2")(h)
 

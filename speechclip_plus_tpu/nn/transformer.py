@@ -18,13 +18,15 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .attention import MultiheadAttention
+from ..ops.gelu import fast_gelu
 
 __all__ = ["TransformerEncoderLayer", "TransformerEncoder", "MultiheadAttentionAndNorm"]
 
 _ACT = {
     "relu": nn.relu,
-    # exact erf gelu (torch F.gelu default), not the tanh approximation
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    # exact erf gelu profile (torch F.gelu default, not the tanh
+    # approximation); bf16 inputs take the polynomial fast path (ops/gelu)
+    "gelu": fast_gelu,
 }
 
 

@@ -1,4 +1,6 @@
 from .masks import key_padding_mask, lengths_from_mask, valid_mask
+from .gelu import fast_gelu
+from .conv_frontend import conv0_pallas
 from .weighted_sum import layer_norm, weighted_sum
 from .losses import (
     contrastive_temperature,
