@@ -66,6 +66,15 @@ def _product_path_setup():
     assert jnp.dtype(model_cfg.audio.dtype) == jnp.dtype(jnp.bfloat16), (
         "product path must train bf16 (trainer.precision)"
     )
+    chunks = int(os.environ.get("BENCH_FRONTEND_CHUNKS", "0"))
+    if chunks > 1:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            audio=dataclasses.replace(model_cfg.audio,
+                                      frontend_chunks=chunks),
+        )
     model = KWClip(model_cfg)
 
     from __graft_entry__ import _make_batch

@@ -108,6 +108,11 @@ class HubertConfig:
     # ops/conv_frontend.conv0_pallas (deinterleaved two-matmul form) exists
     # for regimes where XLA's C_in=1 conv lowering regresses.
     conv_impl: str = "xla"
+    # execute the conv frontend in this many sequential time chunks
+    # (lax.map): bounds the layer-0 activation, the model's largest tensor
+    # ((B, T/5, 512) = 5 GB at B=256 — the round-1 B=256 HBM OOM). 1 = off.
+    # Exact: the stack tiles time perfectly (see ConvFeatureExtractor).
+    frontend_chunks: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -267,54 +272,218 @@ class _PatchConv(nn.Module):
         return out
 
 
+class _ConvParams(nn.Module):
+    """Param holder for one frontend conv (same tree as `nn.Conv`:
+    `kernel` (K, Cin, Cout) [+ `bias`]). Params are materialized *outside*
+    any `lax.map`, so the conv stack itself can be a pure jnp function —
+    the requirement for chunked execution."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class _AffineParams(nn.Module):
+    """`scale`/`bias` pair (the tree of `nn.GroupNorm`/`nn.LayerNorm`)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+def _conv1d_valid(x, kernel, bias, stride, impl, dtype):
+    """One frontend conv on (B, T, Cin); impl as in HubertConfig.conv_impl."""
+    k, cin, ch = kernel.shape
+    use_patches = impl == "matmul" or (impl == "hybrid" and cin * k < 128)
+    kernel = kernel.astype(dtype)
+    if use_patches:
+        b, t, _ = x.shape
+        t_out = (t - k) // stride + 1
+        cols = [
+            jax.lax.slice(
+                x, (0, j, 0), (b, j + (t_out - 1) * stride + 1, cin),
+                (1, stride, 1),
+            )
+            for j in range(k)
+        ]
+        patches = jnp.concatenate(cols, axis=-1)
+        out = patches.reshape(b * t_out, k * cin) @ kernel.reshape(k * cin, ch)
+        out = out.reshape(b, t_out, ch)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (stride,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
+
+
+def _per_channel_norm(x, mean, var, scale, bias, dtype, eps=1e-5):
+    """GroupNorm(C, C) application with externally supplied statistics."""
+    inv = jax.lax.rsqrt(var + eps)
+    return ((x.astype(jnp.float32) - mean) * inv * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _layer_norm_c(x, scale, bias, dtype, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def frontend_receptive_field(conv_layers) -> Tuple[int, int]:
+    """(receptive field, hop) of the conv stack in waveform samples."""
+    r, hop = 1, 1
+    for _, k, s in reversed(conv_layers):
+        r = (r - 1) * s + k
+    for _, _, s in conv_layers:
+        hop *= s
+    return r, hop
+
+
 class ConvFeatureExtractor(nn.Module):
     """Waveform -> frame features, fairseq ConvFeatureExtractionModel parity.
 
     group_norm mode (base): conv(+no bias) -> [GroupNorm on layer 0 only] -> GELU
     layer_norm mode (large): conv(+bias) -> LayerNorm(channel) -> GELU
+
+    `cfg.frontend_chunks > 1` executes the stack in that many time chunks
+    (sequential `lax.map`), bounding the layer-0 activation — the largest
+    tensor of the whole model ((B, T/5, 512): 5 GB at B=256 — the round-1
+    B=256 HBM OOM). The conv stack tiles time exactly: a chunk of
+    F*hop + (R-hop) samples yields exactly F final frames, so chunked and
+    unchunked outputs are identical. The base tower's GroupNorm needs
+    whole-utterance per-channel statistics; they are accumulated in an
+    extra stats pass (layer-0 conv runs twice — it is ~6 ms, cheap next to
+    the memory it frees).
     """
 
     cfg: HubertConfig
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
-        # (B, T) -> (B, T, 1); channel-last throughout (XLA TPU-native layout)
-        x = wav[:, :, None].astype(self.cfg.dtype)
+        c = self.cfg
+        dtype = c.dtype
+        # params materialized once, outside any control flow
+        convs = []
+        norms = []
         cin = 1
-        for i, (ch, k, s) in enumerate(self.cfg.conv_layers):
-            use_patches = self.cfg.conv_impl == "matmul" or (
-                self.cfg.conv_impl == "hybrid" and cin * k < 128
+        for i, (ch, k, s) in enumerate(c.conv_layers):
+            convs.append(
+                _ConvParams(ch, k, cin, c.conv_bias, name=f"conv_{i}")()
             )
-            cin = ch
-            if use_patches:
-                x = _PatchConv(
-                    features=ch,
-                    kernel_size=k,
-                    stride=s,
-                    use_bias=self.cfg.conv_bias,
-                    dtype=self.cfg.dtype,
-                    name=f"conv_{i}",
-                )(x)
+            if c.extractor_mode == "group_norm" and i == 0:
+                norms.append(_AffineParams(ch, name=f"gn_{i}")())
+            elif c.extractor_mode == "layer_norm":
+                norms.append(_AffineParams(ch, name=f"ln_{i}")())
             else:
-                x = nn.Conv(
-                    features=ch,
-                    kernel_size=(k,),
-                    strides=(s,),
-                    padding="VALID",
-                    use_bias=self.cfg.conv_bias,
-                    dtype=self.cfg.dtype,
-                    name=f"conv_{i}",
-                )(x)
-            if self.cfg.extractor_mode == "group_norm" and i == 0:
-                # torch GroupNorm(C, C): per-channel stats over time, fp32
-                x = nn.GroupNorm(
-                    num_groups=ch, epsilon=1e-5, dtype=self.cfg.dtype,
-                    name=f"gn_{i}",
-                )(x)
-            elif self.cfg.extractor_mode == "layer_norm":
-                x = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, name=f"ln_{i}")(x)
-            x = fast_gelu(x)
-        return x  # (B, T', C)
+                norms.append(None)
+            cin = ch
+
+        def run_stack(x, gn_stats):
+            """(B, Tc) waveform chunk -> (B, F, C); gn_stats = (mean, var)
+            per (B, 1, C) for the layer-0 GroupNorm, or None to compute
+            locally (unchunked path)."""
+            x = x[:, :, None].astype(dtype)
+            for i, ((kernel, bias), (ch, k, s)) in enumerate(
+                zip(convs, c.conv_layers)
+            ):
+                x = _conv1d_valid(x, kernel, bias, s, c.conv_impl, dtype)
+                if c.extractor_mode == "group_norm" and i == 0:
+                    scale, gbias = norms[0]
+                    if gn_stats is None:
+                        xf = x.astype(jnp.float32)
+                        mean = xf.mean(axis=1, keepdims=True)
+                        var = xf.var(axis=1, keepdims=True)
+                    else:
+                        mean, var = gn_stats
+                    x = _per_channel_norm(x, mean, var, scale, gbias, dtype)
+                elif c.extractor_mode == "layer_norm":
+                    scale, lbias = norms[i]
+                    x = _layer_norm_c(x, scale, lbias, dtype)
+                x = fast_gelu(x)
+            return x
+
+        nch = int(getattr(c, "frontend_chunks", 1) or 1)
+        if nch <= 1:
+            return run_stack(wav, None)
+
+        b, t = wav.shape
+        r, hop = frontend_receptive_field(c.conv_layers)
+        t_frames = max(int((t - r) // hop + 1), 1)
+        f = -(-t_frames // nch)  # frames per chunk
+        t_need = nch * f * hop + (r - hop)
+        if t_need > t:
+            wav = jnp.pad(wav, ((0, 0), (0, t_need - t)))
+        chunk_len = f * hop + (r - hop)
+        starts = jnp.arange(nch) * (f * hop)
+
+        gn_stats = None
+        if c.extractor_mode == "group_norm":
+            # exact whole-utterance stats for the layer-0 GroupNorm: the
+            # chunks' layer-0 outputs overlap by their halo, so each chunk
+            # contributes only its first `rows0` rows; the ragged final
+            # chunk is bounded by the true layer-0 length.
+            ch0, k0, s0 = c.conv_layers[0]
+            l0_true = (t - k0) // s0 + 1  # pre-pad length
+            rows0 = (f * hop) // s0
+
+            def stats_chunk(i):
+                w = jax.lax.dynamic_slice(
+                    wav, (0, starts[i]), (b, chunk_len)
+                )
+                x0 = _conv1d_valid(
+                    w[:, :, None].astype(dtype), convs[0][0], convs[0][1],
+                    s0, c.conv_impl, dtype,
+                ).astype(jnp.float32)
+                # chunks overlap by their halo: a non-final chunk
+                # contributes only its first rows0 rows (the rest belong to
+                # the next chunk); the final chunk contributes everything
+                # up to the true layer-0 length
+                limit = jnp.where(
+                    i == nch - 1,
+                    jnp.minimum(l0_true - i * rows0, x0.shape[1]),
+                    jnp.minimum(rows0, l0_true - i * rows0),
+                )
+                m = (jnp.arange(x0.shape[1])[None, :, None] < limit)
+                x0 = jnp.where(m, x0, 0.0)
+                cnt = jnp.maximum(limit, 0).astype(jnp.float32)
+                return x0.sum(axis=1), (x0 * x0).sum(axis=1), cnt
+
+            sums, sqs, cnts = jax.lax.map(stats_chunk, jnp.arange(nch))
+            n = cnts.sum()
+            mean = sums.sum(axis=0) / n          # (B, C)
+            var = sqs.sum(axis=0) / n - mean * mean
+            gn_stats = (mean[:, None, :], var[:, None, :])
+
+        def one_chunk(i):
+            w = jax.lax.dynamic_slice(wav, (0, starts[i]), (b, chunk_len))
+            return run_stack(w, gn_stats)
+
+        out = jax.lax.map(one_chunk, jnp.arange(nch))  # (nch, B, F, C)
+        out = out.transpose(1, 0, 2, 3).reshape(b, nch * f, -1)
+        return out[:, :t_frames, :]
 
 
 class PositionalConvEmbedding(nn.Module):

@@ -202,6 +202,12 @@ class KWClipConfig:
             layer_drop = 0.05
         audio_cfg = dataclasses.replace(audio_cfg, layer_drop=float(layer_drop))
 
+        # optional additive key (not in the reference schema): chunked conv
+        # frontend for large-batch memory headroom (hubert.py docstring)
+        chunks = int(getattr(cfg.audio_encoder, "frontend_chunks", 1) or 1)
+        if chunks > 1:
+            audio_cfg = dataclasses.replace(audio_cfg, frontend_chunks=chunks)
+
         feat_select_idx = getattr(
             cfg.audio_encoder, "feat_select_idx", "weighted_sum"
         )

@@ -211,3 +211,40 @@ def test_conv_impl_matmul_matches_xla_and_param_layout():
         np.testing.assert_allclose(
             np.asarray(out_h), np.asarray(out_x), atol=2e-5, rtol=1e-5
         )
+
+
+def test_chunked_frontend_matches_unchunked():
+    """frontend_chunks executes the conv stack in time chunks (lax.map) with
+    exact tiling + whole-utterance GroupNorm stats; outputs must equal the
+    unchunked path (and the param tree must be identical) for both
+    extractor modes, including a ragged final chunk."""
+    import dataclasses
+
+    from speechclip_plus_tpu.models.hubert import ConvFeatureExtractor
+
+    for mode, bias in [("group_norm", False), ("layer_norm", True)]:
+        base = HubertConfig(
+            conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+            extractor_mode=mode, conv_bias=bias,
+        )
+        # receptive field 70, hop 20; T chosen so the last chunk is ragged
+        wav = jnp.asarray(
+            np.random.RandomState(0).randn(3, 4130).astype(np.float32)
+        )
+        p1 = ConvFeatureExtractor(base).init(
+            {"params": jax.random.PRNGKey(0)}, wav
+        )
+        ref = ConvFeatureExtractor(base).apply(p1, wav)
+        for nch in (2, 3):
+            cfg = dataclasses.replace(base, frontend_chunks=nch)
+            p2 = ConvFeatureExtractor(cfg).init(
+                {"params": jax.random.PRNGKey(0)}, wav
+            )
+            assert jax.tree_util.tree_structure(p1) == \
+                jax.tree_util.tree_structure(p2)
+            out = ConvFeatureExtractor(cfg).apply(p1, wav)
+            assert out.shape == ref.shape, (nch, out.shape, ref.shape)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=3e-5, rtol=2e-5,
+                err_msg=f"mode={mode} nch={nch}",
+            )
