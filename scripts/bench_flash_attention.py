@@ -40,7 +40,7 @@ def main():
 
     print(f"device: {jax.devices()[0].device_kind}")
     H, DH = 12, 64
-    for B, T in [(128, 320), (16, 1024), (8, 3072), (4, 8192)]:
+    for B, T in [(128, 320), (16, 1024), (8, 3072)]:
         rng = np.random.RandomState(0)
         shape = (B, H, T, DH)
         q = jnp.asarray(rng.randn(*shape).astype(np.float32), jnp.bfloat16)

@@ -9,9 +9,17 @@ scratch, K/V are streamed block-by-block. fp32 accumulation, bf16-friendly
 inputs.
 
 Forward = Pallas kernel (saves out + logsumexp); backward = custom VJP that
-recomputes scores blockwise with XLA einsums (exact, memory-light at these
-sequence lengths). Use `flash_attention(..., use_pallas=False)` or non-TPU
-backends to fall through to the reference-parity XLA path.
+recomputes scores with XLA einsums (exact; materializes (Tq, Tk) — fine at
+the model's training lengths, not for very long sequences). Use
+`flash_attention(..., use_pallas=False)` or non-TPU backends to fall
+through to the reference-parity XLA path.
+
+Measured verdict (v5e, chained timing, fwd+bwd bf16): the kernel LOSES to
+XLA's fused attention at every size tried — 1.16x slower at B=128 T=320
+(the reference regime), 1.11x at B=16 T=1024, 1.17x at B=8 T=3072
+(`scripts/bench_flash_attention.py`). XLA's attention fusion on TPU is
+simply good. Kept off by default (`HubertConfig.use_flash_attention`) as
+an A/B harness for future hardware, not claimed as a performance feature.
 """
 from __future__ import annotations
 
@@ -39,7 +47,10 @@ def _xla_attention(q, k, v, kpm):
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int):
     """One (batch*head, q_block) program; streams K/V in block_k tiles.
 
-    Block shapes: q (1, Bq, D), k/v (1, Tk, D), bias (1, Tk) additive.
+    Block shapes: q (1, Bq, D), k/v (1, Tk, D), bias (1, 1, Tk) additive,
+    lse out (1, 1, Bq) — the singleton middle axes satisfy the TPU
+    block-shape rule (last two dims divisible by (8, 128) or equal to the
+    array dims).
     """
     q = q_ref[0].astype(jnp.float32)  # (Bq, D)
     scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
@@ -55,7 +66,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int):
         m, l, acc = carry
         kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        bb = bias_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        bb = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -73,7 +84,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, block_k: int):
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m, l, acc))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
 # populated lazily so importing this module never requires pallas
@@ -98,7 +109,9 @@ def _pallas_fwd(q, k, v, bias, *, block_q: int, block_k: int):
     qr = q.reshape(b * h, tq, d)
     kr = k.reshape(b * h, tk, d)
     vr = v.reshape(b * h, tk, d)
-    biasr = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(b * h, tk)
+    biasr = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(
+        b * h, 1, tk
+    )
 
     grid = (b * h, tq // block_q)
     out, lse = pl.pallas_call(
@@ -111,18 +124,18 @@ def _pallas_fwd(q, k, v, bias, *, block_q: int, block_k: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tq), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, tq), jnp.float32),
         ],
     )(qr, kr, vr, biasr)
     return out.reshape(b, h, tq, d), lse.reshape(b, h, tq)
