@@ -56,6 +56,8 @@ def _product_path_setup():
 
     cfg = load_config(os.path.join(os.path.dirname(__file__), "config",
                                    "speechclip_plus", "base", "hybrid_plus.yaml"))
+    if os.environ.get("BENCH_FROZEN_DROPOUT") == "0":
+        cfg.audio_encoder.frozen_dropout = False
     vocab = resolve_reduced_vocab(cfg)
     model_cfg = KWClipConfig.from_config(
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
@@ -100,7 +102,9 @@ def bench_tpu() -> dict:
     import jax
 
     model, state, step, batch = _product_path_setup()
-    key = jax.random.PRNGKey(1)
+    from speechclip_plus_tpu.parallel import training_key
+
+    key = training_key(1)  # product-path default (rbg on TPU)
 
     # XLA's own FLOP estimate for the compiled step (MXU work dominates).
     # NOTE: .lower().compile() shares the jit cache with the timed calls, so

@@ -225,6 +225,26 @@ class KWClipConfig:
             "(reference speech_encoder_plus.py:418)"
         )
 
+        # Reference-effective behavior: the frozen encoder's eval() at init
+        # (`speech_encoder_plus.py:402`) is undone by Lightning's recursive
+        # .train() at fit time (no train() override exists), so reference
+        # training runs dropout inside the frozen tower. That costs real
+        # time on TPU (~35 ms/step of dropout-mask RNG at B=128);
+        # `audio_encoder.frozen_dropout: false` opts out (default keeps
+        # parity).
+        audio_is_trainable = (
+            bool(getattr(cfg.audio_encoder, "trainable", False))
+            or bool(reinit_layers) or bool(unfreeze_layers)
+        )
+        frozen_dropout = bool(
+            getattr(cfg.audio_encoder, "frozen_dropout", True)
+        )
+        if not audio_is_trainable and not frozen_dropout:
+            audio_cfg = dataclasses.replace(
+                audio_cfg, dropout=0.0, attention_dropout=0.0,
+                activation_dropout=0.0, layer_drop=0.0,
+            )
+
         def _branch_ta(branch_node) -> TransformerArgs:
             """Parse transformer_args; the original-SpeechCLIP config family
             puts the block type in a sibling `transformer_type` key
@@ -306,8 +326,7 @@ class KWClipConfig:
             cl_loss=ClLossConfig.from_config(cfg.cl_loss),
             cascaded_objective_weight=c_w,
             parallel_objective_weight=p_w,
-            audio_trainable=bool(getattr(cfg.audio_encoder, "trainable", False))
-            or bool(reinit_layers) or bool(unfreeze_layers),
+            audio_trainable=audio_is_trainable,
             reinit_layers=reinit_layers,
             unfreeze_layers=unfreeze_layers,
             image_encoder_trainable=bool(

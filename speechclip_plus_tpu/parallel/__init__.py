@@ -4,6 +4,6 @@ from .mesh import make_mesh, batch_sharding, replicated_sharding  # noqa: F401
 from .train_step import (  # noqa: F401
     TrainState,
     create_train_state,
-    make_train_step,
+    make_train_step, training_key,
     make_eval_step,
 )

@@ -26,7 +26,26 @@ import optax
 from ..models.kwclip import KWClip
 from .mesh import batch_sharding, replicated_sharding
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+__all__ = [
+    "TrainState", "create_train_state", "make_train_step", "make_eval_step",
+    "training_key",
+]
+
+
+def training_key(seed: int, impl: Optional[str] = None) -> jax.Array:
+    """Training RNG key (dropout / VQ gumbel / LayerDrop).
+
+    Defaults to the TPU hardware generator ("rbg") on TPU backends:
+    generating the step's dropout masks with the default threefry measures
+    62 ms at the reference shapes (2.6G bernoulli draws — train-mode
+    dropout runs inside the frozen towers, reference behavior via
+    Lightning's train()) vs 36 ms with rbg, on a 297 ms step. threefry
+    elsewhere, or on request (config `trainer.rng_impl: threefry2x32`) —
+    rbg trades splittability guarantees that dropout does not need.
+    """
+    if impl is None:
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return jax.random.key(seed, impl=str(impl))
 
 
 @flax.struct.dataclass

@@ -134,7 +134,12 @@ class Trainer:
         train_loader: Iterable,
         val_loader: Optional[Iterable] = None,
     ) -> None:
-        rng = jax.random.PRNGKey(self.seed)
+        from ..parallel.train_step import training_key
+
+        rng = training_key(
+            self.seed,
+            getattr(getattr(self.cfg, "trainer", None), "rng_impl", None),
+        )
         last_log_step = int(self.state.step)
         last_log_time = time.time()
         while self.opt_step < self.max_steps:

@@ -84,3 +84,28 @@ def test_trainer_precision_drives_tower_dtypes(tmp_path):
         __import__("os").path.join(repo, "config", "dev", "tiny.yaml")
     )
     assert KWClipConfig.from_config(tiny).audio.dtype == jnp.float32
+
+
+def test_frozen_dropout_knob():
+    """`audio_encoder.frozen_dropout: false` zeroes tower dropout when the
+    encoder is frozen (reference-effective behavior keeps it: the frozen
+    encoder's eval() is undone by Lightning's train() — see kwclip.py)."""
+    import yaml
+
+    from speechclip_plus_tpu.config import ConfigNode
+    from speechclip_plus_tpu.models import KWClipConfig
+
+    base = yaml.safe_load(open("config/speechclip_plus/base/hybrid_plus.yaml"))
+    cfg = ConfigNode(base)
+    mc = KWClipConfig.from_config(cfg)
+    assert mc.audio.dropout > 0  # parity default: dropout active
+
+    base["audio_encoder"]["frozen_dropout"] = False
+    mc2 = KWClipConfig.from_config(ConfigNode(base))
+    assert mc2.audio.dropout == 0.0
+    assert mc2.audio.attention_dropout == 0.0
+
+    # trainable encoder ignores the knob (dropout is real regularization)
+    base["audio_encoder"]["trainable"] = True
+    mc3 = KWClipConfig.from_config(ConfigNode(base))
+    assert mc3.audio.dropout > 0
