@@ -49,7 +49,9 @@ def dot_product_attention(
         scores = scores + bias
     weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        from ..ops.random import keep_mask
+
+        keep = keep_mask(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights_d = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     else:
         weights_d = weights

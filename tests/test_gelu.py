@@ -66,3 +66,22 @@ def test_fast_gelu_fp32_is_exact():
         np.asarray(fast_gelu(x)),
         np.asarray(jax.nn.gelu(x, approximate=False)),
     )
+
+
+def test_keep_mask_distribution_and_quantization():
+    """ops/random.keep_mask ~ Bernoulli(round(p*65536)/65536): mean within
+    sampling noise of p, exact edge behavior, dtype-independent shape."""
+    import jax
+
+    from speechclip_plus_tpu.ops.random import keep_mask
+
+    rng = jax.random.key(0)
+    m = keep_mask(rng, 0.9, (1 << 20,))
+    frac = float(np.asarray(m, np.float32).mean())
+    assert abs(frac - 0.9) < 2e-3, frac  # 4+ sigma at n=1M
+    assert np.asarray(keep_mask(rng, 1.0, (16,))).all()
+    assert not np.asarray(keep_mask(rng, 0.0, (16,))).any()
+    # deterministic for a fixed key
+    a = np.asarray(keep_mask(rng, 0.5, (1024,)))
+    b = np.asarray(keep_mask(rng, 0.5, (1024,)))
+    assert (a == b).all()
