@@ -68,15 +68,18 @@ def _product_path_setup():
     assert jnp.dtype(model_cfg.audio.dtype) == jnp.dtype(jnp.bfloat16), (
         "product path must train bf16 (trainer.precision)"
     )
+    # the YAML's data.batch_size (256) drives auto-chunking in from_config,
+    # but the bench overrides the batch via BENCH_BATCH — re-derive from the
+    # actual bench batch unless explicitly set
     chunks = int(os.environ.get("BENCH_FRONTEND_CHUNKS", "0"))
-    if chunks > 1:
-        import dataclasses
+    if chunks <= 0:
+        chunks = 2 if BATCH >= 192 else 1
+    import dataclasses
 
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            audio=dataclasses.replace(model_cfg.audio,
-                                      frontend_chunks=chunks),
-        )
+    model_cfg = dataclasses.replace(
+        model_cfg,
+        audio=dataclasses.replace(model_cfg.audio, frontend_chunks=chunks),
+    )
     model = KWClip(model_cfg)
 
     from __graft_entry__ import _make_batch

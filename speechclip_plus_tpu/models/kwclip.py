@@ -203,8 +203,19 @@ class KWClipConfig:
         audio_cfg = dataclasses.replace(audio_cfg, layer_drop=float(layer_drop))
 
         # optional additive key (not in the reference schema): chunked conv
-        # frontend for large-batch memory headroom (hubert.py docstring)
-        chunks = int(getattr(cfg.audio_encoder, "frontend_chunks", 1) or 1)
+        # frontend for large-batch memory headroom (hubert.py docstring).
+        # Unset: auto-chunk when the training batch is large — the layer-0
+        # activation is (B, T/5, 512) and at the reference base recipe
+        # (batch 256, 6.4 s crops) the unchunked frontend alone exhausts
+        # v5e HBM (measured: 17.35G > 15.75G). 2 chunks at B=256 runs at
+        # 499 pairs/s vs OOM unchunked.
+        chunks = getattr(cfg.audio_encoder, "frontend_chunks", None)
+        if chunks is None:
+            batch_size = int(
+                getattr(getattr(cfg, "data", None), "batch_size", 0) or 0
+            )
+            chunks = 2 if batch_size >= 192 else 1
+        chunks = int(chunks or 1)
         if chunks > 1:
             audio_cfg = dataclasses.replace(audio_cfg, frontend_chunks=chunks)
 
