@@ -36,8 +36,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.attention import dot_product_attention
+from ..nn.dropout import FastDropout
 from ..ops.gelu import fast_gelu
-from ..ops.random import keep_mask
 
 __all__ = [
     "HubertConfig",
@@ -514,23 +514,6 @@ class PositionalConvEmbedding(nn.Module):
         return fast_gelu(out)
 
 
-class _FastDropout(nn.Module):
-    """nn.Dropout drop-in (param-free, same rng collection) built on
-    `ops/random.keep_mask` — 16 random bits per element instead of
-    bernoulli's 32; see ops/random.py for the measured motivation."""
-
-    rate: float
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool):
-        if self.rate == 0.0 or deterministic:
-            return x
-        keep = keep_mask(
-            self.make_rng("dropout"), 1.0 - self.rate, x.shape
-        )
-        return jnp.where(keep, x / (1.0 - self.rate), jnp.zeros((), x.dtype))
-
-
 class _ScanHubertLayer(nn.Module):
     """scan body: (carry, per-layer keep, broadcast bias) ->
     (new carry, per-layer output). `keep` implements LayerDrop as identity."""
@@ -627,10 +610,10 @@ class HubertEncoderLayer(nn.Module):
         def ffn(h):
             h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(h)
             h = fast_gelu(h)
-            h = _FastDropout(c.activation_dropout)(h, deterministic=deterministic)
+            h = FastDropout(c.activation_dropout)(h, deterministic=deterministic)
             return nn.Dense(c.d_model, dtype=c.dtype, name="fc2")(h)
 
-        drop = lambda h: _FastDropout(c.dropout)(h, deterministic=deterministic)
+        drop = lambda h: FastDropout(c.dropout)(h, deterministic=deterministic)
         ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="self_attn_layer_norm")
         ln_final = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="final_layer_norm")
 
@@ -677,7 +660,7 @@ class HubertModel(nn.Module):
 
         if c.conv_layers[-1][0] != c.d_model:
             feats = nn.Dense(c.d_model, dtype=c.dtype, name="post_extract_proj")(feats)
-        x = _FastDropout(c.dropout)(feats, deterministic=deterministic)
+        x = FastDropout(c.dropout)(feats, deterministic=deterministic)
 
         # --- encoder (fairseq TransformerEncoder.extract_features) ---
         if feat_padding_mask is not None:
@@ -692,7 +675,7 @@ class HubertModel(nn.Module):
             # the unused application materializes the params and is
             # dead-code-eliminated by XLA
             nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="encoder_layer_norm")(x)
-        x = _FastDropout(c.dropout)(x, deterministic=deterministic)
+        x = FastDropout(c.dropout)(x, deterministic=deterministic)
 
         key_padding_bias = None
         if feat_padding_mask is not None:

@@ -5,6 +5,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+
+from .dropout import FastDropout
 import jax.numpy as jnp
 
 __all__ = ["MLPLayers"]
@@ -22,5 +24,5 @@ class MLPLayers(nn.Module):
             x = nn.Dense(self.units[i + 1], dtype=self.dtype, name=f"dense_{i}")(x)
             if i < n - 1:  # reference drops the trailing ReLU+Dropout
                 x = nn.relu(x)
-                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+                x = FastDropout(self.dropout)(x, deterministic=deterministic)
         return x

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .attention import MultiheadAttention
 from ..ops.gelu import fast_gelu
+from .dropout import FastDropout
 
 __all__ = ["TransformerEncoderLayer", "TransformerEncoder", "MultiheadAttentionAndNorm"]
 
@@ -57,7 +58,7 @@ class TransformerEncoderLayer(nn.Module):
         norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")
         linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")
         linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        drop = lambda x: FastDropout(self.dropout)(x, deterministic=deterministic)
         act = _ACT[self.activation]
 
         def sa(x):
@@ -73,7 +74,7 @@ class TransformerEncoderLayer(nn.Module):
             )
 
         def ff(x):
-            return drop(linear2(nn.Dropout(self.dropout)(act(linear1(x)), deterministic=deterministic)))
+            return drop(linear2(FastDropout(self.dropout)(act(linear1(x)), deterministic=deterministic)))
 
         if self.norm_first:
             src = src + sa(norm1(src))
