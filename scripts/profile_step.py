@@ -76,10 +76,14 @@ def main():
     params = variables["params"]
     tx = build_optimizer_from_config(params, model_cfg, cfg)
     state = create_train_state(model, variables, tx)
-    # donate=False: sub-timers reuse the same state buffers across calls
+    # donate=False: sub-timers reuse the same state buffers across calls.
+    # NOTE: that (plus input-preservation copies) costs ~8 ms vs the real
+    # donating product step — compare totals against bench.py, not across.
     step = make_train_step(model, tx, mesh=None, donate=False,
                            accumulate_grad_batches=1)
-    key = jax.random.PRNGKey(1)
+    from speechclip_plus_tpu.parallel import training_key
+
+    key = training_key(1)  # product default (rbg on TPU)
 
     results = {}
 
