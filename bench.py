@@ -104,6 +104,7 @@ def _product_path_setup():
 def bench_tpu() -> dict:
     import jax
 
+    t_start = time.perf_counter()
     model, state, step, batch = _product_path_setup()
     from speechclip_plus_tpu.parallel import training_key
 
@@ -145,8 +146,15 @@ def bench_tpu() -> dict:
     # tasks/base_task.py) — the ViT never runs in a training step. Report
     # that rate too; the headline metric stays the live-tower full step so
     # rounds stay comparable.
+    # guard the driver's wall-clock: the cached path is a second full
+    # compile (~8 min through the tunnel); skip it when the live phase
+    # already ate the budget so the headline metric always lands
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1200"))
+    over_budget = (time.perf_counter() - t_start) > budget
     cached_pairs_per_sec = float("nan")
-    if not os.environ.get("BENCH_SKIP_CACHED"):
+    if over_budget and not os.environ.get("BENCH_SKIP_CACHED"):
+        print("skipping cached-image phase (time budget)")
+    if not os.environ.get("BENCH_SKIP_CACHED") and not over_budget:
         try:
             @jax.jit
             def _embed(params, image):
