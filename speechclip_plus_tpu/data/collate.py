@@ -164,6 +164,12 @@ class BucketedLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Position the per-epoch shuffle stream (order seeds on
+        seed+epoch); the Trainer calls this after a resume so training
+        continues the interrupted stream instead of replaying epoch 0."""
+        self._epoch = int(epoch)
+
     def _index_order(self, rng: np.random.RandomState) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:

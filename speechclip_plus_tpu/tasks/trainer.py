@@ -116,12 +116,36 @@ class Trainer:
             arr = shard_batch(arr, self.mesh)
         return arr
 
+    @property
+    def _fit_state_path(self) -> str:
+        return os.path.join(self.save_path, "checkpoints", "fit_state.json")
+
+    def _save_fit_state(self) -> None:
+        """Persist the loop state the TrainState doesn't carry (epoch), so
+        resume continues the shuffle order, validation cadence and artifact
+        numbering instead of replaying epoch 0 (reference: Lightning restores
+        the full loop state, `base_task.py:206,211`)."""
+        with open(self._fit_state_path, "w") as f:
+            json.dump({"epoch": self.epoch, "opt_step": self.opt_step}, f)
+
     def resume(self, ckpt_dir: str) -> None:
-        """Restore full fit state (params, opt state, step) from an orbax dir
-        (reference `--resume`, `base_task.py:60-61,206,211`)."""
+        """Restore full fit state (params, opt state, step, epoch) from an
+        orbax dir (reference `--resume`, `base_task.py:60-61,206,211`)."""
         mgr = CheckpointManager(ckpt_dir)
         self.state = mgr.restore(self.state)
-        logger.info("Resumed from %s at step %d", ckpt_dir, int(self.state.step))
+        fit_state = os.path.join(ckpt_dir, "fit_state.json")
+        if os.path.exists(fit_state):
+            with open(fit_state) as f:
+                self.epoch = int(json.load(f)["epoch"])
+        else:
+            logger.warning(
+                "%s has no fit_state.json; epoch restarts at 0 (shuffle "
+                "order and artifact numbering will replay)", ckpt_dir,
+            )
+        logger.info(
+            "Resumed from %s at step %d epoch %d",
+            ckpt_dir, int(self.state.step), self.epoch,
+        )
 
     @property
     def opt_step(self) -> int:
@@ -142,6 +166,10 @@ class Trainer:
         )
         last_log_step = int(self.state.step)
         last_log_time = time.time()
+        # after resume, continue the per-epoch shuffle stream where it left
+        # off (the loader seeds each epoch's order on seed+epoch)
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(self.epoch)
         while self.opt_step < self.max_steps:
             for batch in train_loader:
                 if self.opt_step >= self.max_steps:
@@ -166,11 +194,13 @@ class Trainer:
             if val_loader is not None and self.epoch % self.val_every_epoch == 0:
                 val_metrics = self.validate(val_loader)
                 self.ckpt.save(self.opt_step, self.state, val_metrics)
+                self._save_fit_state()
                 last_log_time = time.time()  # don't bill val time to steps/sec
                 last_log_step = int(self.state.step)
         if val_loader is not None:
             val_metrics = self.validate(val_loader)
             self.ckpt.save(self.opt_step, self.state, val_metrics)
+            self._save_fit_state()
 
     # ------------------------------------------------------- validation ----
 
@@ -181,6 +211,15 @@ class Trainer:
             metrics, out = self.eval_step(self.state, self._device_batch(batch))
             out = {k: np.asarray(v) for k, v in out.items()}
             valid = out.get("valid")
+            # scalar metrics are per-batch means over *valid* rows; weight
+            # the cross-batch aggregate by valid count so a final padded
+            # batch (e.g. 3 valid rows of 128) doesn't count like a full one
+            # (reference computes losses on the full gathered val set,
+            # kwClip.py:248-285)
+            n_valid = (
+                int(valid.sum()) if valid is not None
+                else int(out["id"].shape[0])
+            )
             if valid is not None:
                 out = {
                     k: v[valid] if v.ndim >= 1 and v.shape[0] == valid.shape[0] else v
@@ -189,9 +228,13 @@ class Trainer:
             all_out.append(out)
             for k, v in metrics.items():
                 if np.asarray(v).ndim == 0:
-                    agg.setdefault(k, []).append(_scalar(v))
+                    agg.setdefault(k, []).append((_scalar(v), n_valid))
 
-        val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        val_metrics = {
+            k: float(sum(v * w for v, w in pairs)
+                     / max(sum(w for _, w in pairs), 1))
+            for k, pairs in agg.items()
+        }
 
         # ---- retrieval (reference kwClip.py:447-482) ----
         ids = np.concatenate([o["id"] for o in all_out])
