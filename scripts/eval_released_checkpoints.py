@@ -57,55 +57,164 @@ def config_path_for(size: str, dataset: str, family: str) -> str:
     return os.path.join(root, "large", dataset, f"{family}.yaml")
 
 
+def _write_wav(path, n, sr=16000, seed=0):
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    data = (rng.randn(n) * 3000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+def _synthetic_root(tmpdir: str, dataset: str) -> str:
+    """Minimal on-disk Flickr8k / SpokenCOCO layout (2 images x 2 captions)
+    so the --dry trace exercises the REAL eval-split pipeline —
+    dataset -> bucketed loader -> eval step — not just the model build."""
+    import json as _json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    root = os.path.join(tmpdir, dataset)
+    if os.path.isdir(root):
+        return root
+    names = ["imgA", "imgB"]
+    if dataset == "flickr":
+        os.makedirs(os.path.join(root, "flickr_audio", "wavs"))
+        os.makedirs(os.path.join(root, "Images"))
+        with open(os.path.join(root, "Flickr8k_idPairs.json"), "w") as f:
+            _json.dump({"filename2Id": {n: i for i, n in enumerate(names)},
+                        "id2Filename": {str(i): n
+                                        for i, n in enumerate(names)}}, f)
+        caps = []
+        for i, n in enumerate(names):
+            Image.fromarray(
+                (np.random.RandomState(i).rand(40, 40, 3) * 255)
+                .astype(np.uint8)
+            ).save(os.path.join(root, "Images", f"{n}.jpg"))
+            for sub in range(2):
+                _write_wav(os.path.join(root, "flickr_audio", "wavs",
+                                        f"{n}_{sub}.wav"),
+                           3200 + 320 * sub, seed=i * 7 + sub)
+                caps.append(f"{n}.jpg#{sub}\ta dog runs {i}")
+        with open(os.path.join(root, "Flickr8k.token.txt"), "w") as f:
+            f.write("\n".join(caps))
+        for split in ("train", "dev", "test"):
+            with open(os.path.join(root, f"Flickr_8k.{split}Images.txt"),
+                      "w") as f:
+                f.write("\n".join(f"{n}.jpg" for n in names) + "\n")
+    else:  # SpokenCOCO
+        os.makedirs(os.path.join(root, "SpokenCOCO", "wavs"))
+        os.makedirs(os.path.join(root, "mscoco_img"))
+        data = []
+        for i, n in enumerate(names):
+            img = f"COCO_val2014_{i:012d}.jpg"
+            Image.fromarray(
+                (np.random.RandomState(i).rand(40, 40, 3) * 255)
+                .astype(np.uint8)
+            ).save(os.path.join(root, "mscoco_img", img))
+            caps = []
+            for sub in range(2):
+                wav = f"wavs/{n}_{sub}.wav"
+                _write_wav(os.path.join(root, "SpokenCOCO", wav),
+                           3200 + 320 * sub, seed=i * 7 + sub)
+                caps.append({"wav": wav, "text": f"a dog runs {i}"})
+            # reassign_id: used by the karpathy-split files
+            # (split_prefix=SpokenCOCO_ksplit, data/datasets.py)
+            data.append({"image": img, "captions": caps,
+                         "reassign_id": i})
+        for prefix in ("SpokenCOCO", "SpokenCOCO_ksplit"):
+            for split in ("train", "val", "test"):
+                with open(os.path.join(root, "SpokenCOCO",
+                                       f"{prefix}_{split}.json"), "w") as f:
+                    _json.dump({"data": data}, f)
+    return root
+
+
 def dry_run() -> int:
-    """Exercise the import path end-to-end without weights: for each released
-    checkpoint, resolve its config + reduced vocab, build the typed model
-    config and trace `model.init` shapes (jax.eval_shape — no compute). This
-    is what CI can prove in a zero-egress environment."""
+    """Exercise the parity path end-to-end without released weights: for
+    each released checkpoint, resolve its config + reduced vocab, build the
+    typed model config, trace `model.init` shapes (jax.eval_shape — no
+    compute), then drive a synthetic on-disk dataset through the REAL eval
+    pipeline — `_build_dataset` -> BucketedLoader -> a traced eval step —
+    asserting the retrieval features come out at the right shapes. This is
+    what CI can prove in a zero-egress environment."""
+    import tempfile
+
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from speechclip_plus_tpu.config import load_config
+    from speechclip_plus_tpu.data import BucketedLoader
     from speechclip_plus_tpu.models import KWClip, KWClipConfig
+    from speechclip_plus_tpu.parallel import make_eval_step
+    from speechclip_plus_tpu.parallel.train_step import TrainState
+    from speechclip_plus_tpu.tasks.base_task import _build_dataset
     from speechclip_plus_tpu.tasks.builder import resolve_reduced_vocab
 
     failures = 0
-    for size, dataset, family, expected in RELEASED:
-        path = config_path_for(size, dataset, family)
-        try:
-            cfg = load_config(path)
-            vocab = resolve_reduced_vocab(cfg)
-            mc = KWClipConfig.from_config(
-                cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
-                eot_id=int(vocab.eot_reduced),
-            )
-            model = KWClip(mc)
-            import jax.numpy as jnp
+    with tempfile.TemporaryDirectory() as td:
+        for size, dataset, family, expected in RELEASED:
+            path = config_path_for(size, dataset, family)
+            try:
+                cfg = load_config(path)
+                vocab = resolve_reduced_vocab(cfg)
+                mc = KWClipConfig.from_config(
+                    cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
+                    eot_id=int(vocab.eot_reduced),
+                )
+                model = KWClip(mc)
 
-            batch = {
-                "wav": jnp.zeros((2, 3200), jnp.float32),
-                "wav_len": jnp.asarray([3200, 2880]),
-                "image": jnp.zeros(
-                    (2, mc.clip.image_resolution, mc.clip.image_resolution, 3),
-                    jnp.float32,
-                ),
-                "id": jnp.asarray([0, 1]),
-                "text": jnp.zeros((2, mc.clip.context_length), jnp.int32),
-            }
-            shapes = jax.eval_shape(
-                lambda r, b: model.init(r, b, training=False),
-                jax.random.PRNGKey(0), batch,
-            )
-            n_params = sum(
-                int(np.prod(x.shape))
-                for x in jax.tree_util.tree_leaves(shapes["params"])
-            )
-            print(f"OK   {size}/{dataset}/{family}: expected "
-                  f"recall_mean_10={expected}, {n_params/1e6:.1f}M params, "
-                  f"branch={mc.branch_type or 'parallel-only'}")
-        except Exception as e:  # noqa: BLE001 - report and continue
-            failures += 1
-            print(f"FAIL {size}/{dataset}/{family}: {type(e).__name__}: {e}")
+                # --- eval-split data pipeline, for real ------------------
+                cfg.data.dataset.dataset_root = _synthetic_root(td, dataset)
+                split = "dev" if dataset == "flickr" else "val"
+                ds = _build_dataset(cfg, split,
+                                    image_size=mc.clip.image_resolution)
+                loader = BucketedLoader(ds, batch_size=2, shuffle=False,
+                                        drop_last=False)
+                batch = next(iter(loader))
+                assert batch["image"].shape[1] == mc.clip.image_resolution
+
+                # --- model init + eval step, traced (no compute) ---------
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                shapes = jax.eval_shape(
+                    lambda r, b: model.init(r, b, training=False),
+                    jax.random.PRNGKey(0), jbatch,
+                )
+                state = TrainState(
+                    step=jax.ShapeDtypeStruct((), jnp.int32),
+                    params=shapes["params"],
+                    batch_stats=shapes.get("batch_stats", {}),
+                    opt_state=None,
+                )
+                metrics, out = jax.eval_shape(
+                    make_eval_step(model), state, jbatch
+                )
+                assert out["audio_feat"].shape == out["image_feat"].shape, (
+                    out["audio_feat"].shape, out["image_feat"].shape,
+                )
+                assert "val_loss" in metrics
+                n_params = sum(
+                    int(np.prod(x.shape))
+                    for x in jax.tree_util.tree_leaves(shapes["params"])
+                )
+                wav_shape = tuple(batch["wav"].shape)
+                feat_shape = tuple(out["audio_feat"].shape)
+                print(f"OK   {size}/{dataset}/{family}: expected "
+                      f"recall_mean_10={expected}, {n_params/1e6:.1f}M "
+                      f"params, branch={mc.branch_type or 'parallel-only'}, "
+                      f"eval pipeline wav{wav_shape} -> feat{feat_shape}")
+            except Exception as e:  # noqa: BLE001 - report and continue
+                failures += 1
+                print(f"FAIL {size}/{dataset}/{family}: "
+                      f"{type(e).__name__}: {e}")
     return failures
 
 
