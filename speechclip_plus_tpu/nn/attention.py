@@ -43,8 +43,20 @@ def dot_product_attention(
         (e.g. -inf at padded keys, causal mask).
     """
     dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(dh))
+    # scale q before the matmul (torch MultiheadAttention does the same);
+    # avoids an elementwise pass over the (B,H,Tq,Tk) score tensor
+    q = q * jnp.asarray(1.0 / jnp.sqrt(jnp.float32(dh)), q.dtype)
+    # bf16 towers: keep the score buffer bf16 — it is the largest
+    # activation of the layer ((B,H,T,T): 630 MB/layer fp32 at the
+    # reference shapes) and fp32 materialization makes the stack
+    # bandwidth-bound. The MXU still accumulates fp32 internally and the
+    # softmax runs fp32 (fused upcast); only the HBM round trip narrows.
+    # Matches the reference's effective precision: torch fp16 autocast
+    # produces fp16 score matrices. fp32 inputs keep fp32 scores, so
+    # torch-parity oracles are bit-comparable.
+    score_t = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=score_t)
+    scores = scores.astype(jnp.float32)
     if bias is not None:
         scores = scores + bias
     weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
