@@ -591,12 +591,36 @@ class KWClip(nn.Module):
                 "(B, T, D) feature tensor — same constraint as the reference"
             )
         wav, wav_len = batch["wav"], batch["wav_len"]
-        image = batch.get("image")
-        ids = batch["id"]
 
         audio_feat, audio_feat_len = self.forward_audio(
             wav, wav_len, batch.get("wav_padding_mask"), deterministic=deterministic
         )
+        return self.forward_from_audio(
+            audio_feat, audio_feat_len, batch,
+            training=training, global_step=global_step,
+            deterministic=deterministic,
+        )
+
+    def forward_from_audio(
+        self,
+        audio_feat: jnp.ndarray,
+        audio_feat_len: jnp.ndarray,
+        batch: Dict[str, jnp.ndarray],
+        *,
+        training: bool = False,
+        global_step: Optional[jnp.ndarray] = None,
+        deterministic: Optional[bool] = None,
+    ) -> Tuple[Dict, Dict, Dict]:
+        """Everything downstream of the acoustic tower: image projection,
+        branches, VQ/CIF, keyword text encoding, loss features. Split out of
+        `__call__` so the post-tower compute can be driven (and profiled)
+        from precomputed audio features."""
+        c = self.cfg
+        if deterministic is None:
+            deterministic = not training
+        image = batch.get("image")
+        ids = batch["id"]
+
         if "image_feat" in batch and batch["image_feat"] is not None:
             # precomputed frozen image-tower output (trainer-side cache);
             # the trainable projection + normalize still run in-step
