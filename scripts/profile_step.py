@@ -49,6 +49,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from speechclip_plus_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__), "..",
+                                         ".jax_cache"))
     from speechclip_plus_tpu.config import load_config
     from speechclip_plus_tpu.models import KWClip, KWClipConfig
     from speechclip_plus_tpu.optim.optimizer import build_optimizer_from_config
@@ -122,6 +126,73 @@ def main():
 
     results["hubert_tower_fwd"] = timed(hub_full, audio_params, wav, wav_pad,
                                         iters=args.iters)
+
+    # train-mode tower (the product step runs dropout inside the frozen
+    # tower — Lightning-effective reference behavior): the delta vs
+    # hubert_tower_fwd is the frozen-dropout cost
+    @jax.jit
+    def hub_train(p, w, m, k):
+        return hub.apply(
+            {"params": p}, w, m, deterministic=False,
+            rngs={"dropout": k, "layer_drop": jax.random.fold_in(k, 2)},
+        )["x"].astype(jnp.float32).sum()
+
+    try:
+        results["hubert_tower_fwd_train_mode"] = timed(
+            hub_train, audio_params, wav, wav_pad, key, iters=args.iters)
+    except Exception as e:
+        print("train-mode tower timing failed:", repr(e))
+
+    # branches + VQ/CIF + keyword text tower + losses + backward, audio
+    # tower excluded: drive forward_from_audio with precomputed features
+    # (includes the text-tower fwd+bwd measured separately above)
+    Tp = int(args.wav_len) // model_cfg.audio.downsample_rate
+    feats = jnp.asarray(rng.randn(B, Tp, model_cfg.audio.d_model)
+                        .astype(np.float32))
+    feat_len = jnp.full((B,), Tp, jnp.int32)
+    rest_batch = {k: v for k, v in batch.items() if k != "wav"}
+
+    @jax.jit
+    def rest_fwd_bwd(p, feats, k):
+        def f(feats):
+            (loss_feats, _, _), _ = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                feats, feat_len, rest_batch,
+                method=KWClip.forward_from_audio,
+                training=True, global_step=jnp.zeros((), jnp.int32),
+                rngs={"dropout": k, "vq": jax.random.fold_in(k, 1)},
+                mutable=["batch_stats"],
+            )
+            losses = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                loss_feats, method=KWClip.compute_loss,
+            )
+            return losses["loss"]
+        return jax.grad(f)(feats).astype(jnp.float32).sum()
+
+    try:
+        results["post_tower_fwd_bwd_incl_text"] = timed(
+            rest_fwd_bwd, params, feats, key, iters=args.iters)
+    except Exception as e:
+        print("post-tower timing failed:", repr(e))
+
+    # optimizer alone: tx.update + apply_updates on a real-structure grad
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    @jax.jit
+    def adam_only(p, opt_state, grads):
+        import optax as _optax
+
+        updates, new_state = tx.update(grads, opt_state, p)
+        new_p = _optax.apply_updates(p, updates)
+        return jax.tree_util.tree_leaves(new_p)[0].astype(jnp.float32).sum()
+
+    try:
+        results["optimizer_update"] = timed(adam_only, params,
+                                            state.opt_state, grads,
+                                            iters=args.iters)
+    except Exception as e:
+        print("optimizer timing failed:", repr(e))
 
     @jax.jit
     def img_fwd(p, im):

@@ -80,6 +80,9 @@ class TrainSpeechClipBaseTask(BaseTask):
         args = self.args
         set_logging(args.log_level)
         seed_everything(args.seed)
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
         if args.ckpt and args.ckpt.endswith(".ckpt"):
             # Lightning checkpoint: config rides inside
