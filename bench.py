@@ -16,7 +16,14 @@ throughput numbers, SURVEY §6) — a *lower bound* on reference per-pair work,
 labeled as such in `baseline_kind`.
 
 Env knobs: BENCH_BATCH (default 128), BENCH_WAV_LEN (default 102400),
-BENCH_STEPS (default 10), BENCH_SKIP_TORCH=1 to reuse/skip the baseline.
+BENCH_STEPS (default 10), BENCH_SKIP_TORCH=1 to reuse/skip the baseline,
+BENCH_CONFIG to bench another YAML (e.g. the large recipe), BENCH_OUT to
+additionally dump the raw stats dict to a JSON file.
+
+A persistent XLA compilation cache lives in `.jax_cache/` — the first run
+pays the full compile (~minutes through the axon tunnel), subsequent runs
+(including the driver's end-of-round run) reuse it, so both the live-tower
+and the cached-image phases land within the wall-clock budget.
 """
 import json
 import os
@@ -28,6 +35,24 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WAV_LEN = int(os.environ.get("BENCH_WAV_LEN", "102400"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+CONFIG = os.environ.get("BENCH_CONFIG") or os.path.join(
+    os.path.dirname(__file__), "config", "speechclip_plus", "base",
+    "hybrid_plus.yaml",
+)
+
+# ---- the >=5x-GPU-baseline question (BASELINE.md / BASELINE.json) -------
+# No GPU exists in this environment and the reference publishes no
+# throughput numbers, so the GPU side is an analytic estimate: take XLA's
+# own FLOP count for OUR compiled step (a fair proxy for the per-pair
+# work — the torch reference does at least this much: same towers, fp16,
+# plus fp32 master weights) and divide by an A100's bf16 peak at a
+# documented MFU assumption. 0.40 is *generous* for the reference (eager
+# PyTorch + Lightning DP, unfused conv frontend, per-layer host syncs —
+# research codebases typically land at 0.10-0.20); 0.15 is the realistic
+# eager-mode figure. Both are printed.
+GPU_PEAK_TFLOPS = 312.0  # A100-80GB bf16 dense
+GPU_MFU_GENEROUS = 0.40
+GPU_MFU_EAGER = 0.15
 
 # bf16 peak TFLOP/s per chip (dense): v5e=197, v4=275, v5p=459, v6e=918
 PEAK_TFLOPS = {
@@ -44,6 +69,14 @@ def _chip_peak(device) -> float:
     return float("nan")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (survives across bench runs)."""
+    from speechclip_plus_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__),
+                                         ".jax_cache"))
+
+
 def _product_path_setup():
     """Flagship model + train step exactly as run_task.py builds them."""
     import jax
@@ -54,8 +87,7 @@ def _product_path_setup():
     from speechclip_plus_tpu.parallel import create_train_state, make_train_step
     from speechclip_plus_tpu.tasks.builder import resolve_reduced_vocab
 
-    cfg = load_config(os.path.join(os.path.dirname(__file__), "config",
-                                   "speechclip_plus", "base", "hybrid_plus.yaml"))
+    cfg = load_config(CONFIG)
     if os.environ.get("BENCH_FROZEN_DROPOUT") == "0":
         cfg.audio_encoder.frozen_dropout = False
     vocab = resolve_reduced_vocab(cfg)
@@ -104,6 +136,7 @@ def _product_path_setup():
 def bench_tpu() -> dict:
     import jax
 
+    _enable_compile_cache()
     t_start = time.perf_counter()
     model, state, step, batch = _product_path_setup()
     from speechclip_plus_tpu.parallel import training_key
@@ -146,10 +179,13 @@ def bench_tpu() -> dict:
     # tasks/base_task.py) — the ViT never runs in a training step. Report
     # that rate too; the headline metric stays the live-tower full step so
     # rounds stay comparable.
-    # guard the driver's wall-clock: the cached path is a second full
-    # compile (~8 min through the tunnel); skip it when the live phase
-    # already ate the budget so the headline metric always lands
-    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1200"))
+    # wall-clock guard: the cached path is a second compile. With the
+    # persistent compilation cache warm (any prior run of this script,
+    # including during the build round) it costs seconds; cold through the
+    # axon tunnel it costs ~8 min, so only skip when the live phase already
+    # blew a *hard* budget — the cached rate is the product default
+    # (data.cache_image_embeddings, tasks/base_task.py) and must land.
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2400"))
     over_budget = (time.perf_counter() - t_start) > budget
     cached_pairs_per_sec = float("nan")
     if over_budget and not os.environ.get("BENCH_SKIP_CACHED"):
@@ -230,6 +266,26 @@ def get_baseline() -> float:
     return val
 
 
+def gpu_estimate(flops: float, pairs_per_sec: float) -> dict:
+    """Analytic answer to BASELINE.json's >=5x-over-GPU target (no GPU in
+    this env, none published upstream): implied A100 pairs/s at documented
+    MFU assumptions — see the module-top comment for why 0.40 is generous
+    and 0.15 realistic for the eager-torch reference."""
+    if flops != flops or flops <= 0 or pairs_per_sec != pairs_per_sec:
+        return {}
+    flops_per_pair = flops / BATCH
+    gen = GPU_PEAK_TFLOPS * 1e12 * GPU_MFU_GENEROUS / flops_per_pair
+    eager = GPU_PEAK_TFLOPS * 1e12 * GPU_MFU_EAGER / flops_per_pair
+    return {
+        "gpu_equiv_pairs_per_sec_at_mfu40": round(gen, 1),
+        "gpu_equiv_pairs_per_sec_at_mfu15": round(eager, 1),
+        "vs_gpu_estimate_mfu40": round(pairs_per_sec / gen, 3),
+        "vs_gpu_estimate_mfu15": round(pairs_per_sec / eager, 3),
+        "gpu_assumption": f"A100-80GB bf16 peak {GPU_PEAK_TFLOPS} TF, "
+                          "same per-pair FLOPs as our compiled step",
+    }
+
+
 def main():
     stats = bench_tpu()
     baseline = get_baseline()
@@ -239,7 +295,7 @@ def main():
     def r(x, n=3):
         return round(x, n) if x == x else None
 
-    print(json.dumps({
+    row = {
         "metric": "hybrid_plus_base_train_pairs_per_sec_per_chip",
         "value": r(value),
         "unit": "pairs/s/chip",
@@ -253,7 +309,26 @@ def main():
         "batch": BATCH,
         "device": stats["device"],
         "path": "product (YAML->KWClipConfig->make_train_step)",
-    }))
+    }
+    row.update(gpu_estimate(stats["xla_flops_per_step"], value))
+    # large-family numbers, measured on hardware via
+    # `BENCH_CONFIG=config/speechclip_plus/large/flickr/hybrid_plus.yaml
+    #  BENCH_OUT=BENCH_LARGE.json python bench.py` and committed
+    large_path = os.path.join(os.path.dirname(__file__), "BENCH_LARGE.json")
+    if os.path.exists(large_path):
+        try:
+            with open(large_path) as f:
+                row["large"] = json.load(f)
+        except Exception:
+            pass
+    if os.environ.get("BENCH_OUT"):
+        with open(os.environ["BENCH_OUT"], "w") as f:
+            json.dump({**{k: (v if v == v else None)
+                          for k, v in stats.items()}, "batch": BATCH,
+                       "config": os.path.relpath(
+                           CONFIG, os.path.dirname(__file__) or ".")}, f,
+                      indent=2)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

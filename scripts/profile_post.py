@@ -130,12 +130,15 @@ def main():
 
     @jax.jit
     def loss_fwd_bwd(p, lf):
-        def f(lf):
-            losses = model.apply({"params": p, "batch_stats": bstats}, lf,
+        def f(img, casc, par):
+            lf2 = dict(lf, image_feat=img, cascaded_audio_feat=casc,
+                       parallel_audio_feat=par)
+            losses = model.apply({"params": p, "batch_stats": bstats}, lf2,
                                  method=KWClip.compute_loss)
             return losses["loss"]
-        g = jax.grad(f)(lf)
-        return g["image_feat"].astype(jnp.float32).sum()
+        g = jax.grad(f)(lf["image_feat"], lf["cascaded_audio_feat"],
+                        lf["parallel_audio_feat"])
+        return g.astype(jnp.float32).sum()
 
     results["compute_loss_fwd_bwd"] = timed(loss_fwd_bwd, params, lf,
                                             iters=args.iters)

@@ -431,6 +431,17 @@ class ConvFeatureExtractor(nn.Module):
             return run_stack(wav, None)
 
         b, t = wav.shape
+        if b % nch == 0 and b > nch:
+            # batch-chunked (preferred): every per-sample statistic
+            # (GroupNorm over time, LayerNorm over channels) lives entirely
+            # inside one chunk, so this is bit-exact vs unchunked with NO
+            # halo recompute, stats prepass, or padding — unlike the
+            # time-chunked fallback below. Bounds the layer-0 activation to
+            # (B/nch, T/5, C), same as time chunking.
+            out = jax.lax.map(
+                lambda w: run_stack(w, None), wav.reshape(nch, b // nch, t)
+            )
+            return out.reshape(b, out.shape[2], out.shape[3])
         r, hop = frontend_receptive_field(c.conv_layers)
         t_frames = max(int((t - r) // hop + 1), 1)
         f = -(-t_frames // nch)  # frames per chunk

@@ -231,6 +231,11 @@ def test_chunked_frontend_matches_unchunked():
         wav = jnp.asarray(
             np.random.RandomState(0).randn(3, 4130).astype(np.float32)
         )
+        # B=4, nch=2 divides the batch -> exercises the batch-chunked
+        # (bit-exact, no-halo) preferred path instead of time chunking
+        wav4 = jnp.asarray(
+            np.random.RandomState(1).randn(4, 4130).astype(np.float32)
+        )
         p1 = ConvFeatureExtractor(base).init(
             {"params": jax.random.PRNGKey(0)}, wav
         )
@@ -248,3 +253,11 @@ def test_chunked_frontend_matches_unchunked():
                 np.asarray(out), np.asarray(ref), atol=3e-5, rtol=2e-5,
                 err_msg=f"mode={mode} nch={nch}",
             )
+        ref4 = ConvFeatureExtractor(base).apply(p1, wav4)
+        cfg4 = dataclasses.replace(base, frontend_chunks=2)
+        out4 = ConvFeatureExtractor(cfg4).apply(p1, wav4)
+        assert out4.shape == ref4.shape
+        np.testing.assert_allclose(
+            np.asarray(out4), np.asarray(ref4), atol=1e-6, rtol=1e-6,
+            err_msg=f"mode={mode} batch-chunked",
+        )
