@@ -98,6 +98,61 @@ def main():
     results["branch_fwd_bwd(no_text_tower)"] = timed(
         branch_fwd_bwd, params, feats, key, iters=args.iters)
 
+    # --- branch sub-pieces: attention / CIF / keyword head ---------------
+    @jax.jit
+    def att_fwd_bwd(p, feats, k):
+        def f(feats):
+            out = model.apply(
+                {"params": p, "batch_stats": bstats}, feats,
+                method=lambda m, x: m.cascaded_branch.self_att(
+                    x, deterministic=False),
+                rngs={"dropout": k},
+            )
+            return out.astype(jnp.float32).sum()
+        return jax.grad(f)(feats).astype(jnp.float32).sum()
+
+    results["branch_self_att_fwd_bwd"] = timed(
+        att_fwd_bwd, params, feats, key, iters=args.iters)
+
+    @jax.jit
+    def cif_fwd_bwd(p, feats, k):
+        def f(feats):
+            from speechclip_plus_tpu.ops.masks import key_padding_mask
+            pad = key_padding_mask(feats.shape[1], feat_len)
+            out = model.apply(
+                {"params": p, "batch_stats": bstats},
+                method=lambda m: m.cascaded_branch.downsampling(
+                    feats, pad, target_lengths=tlen, global_step=gstep,
+                    training=True, deterministic=False),
+                rngs={"dropout": k},
+            )
+            return out["dsample_feats"].astype(jnp.float32).sum()
+        return jax.grad(f)(feats).astype(jnp.float32).sum()
+
+    results["cif_fwd_bwd"] = timed(cif_fwd_bwd, params, feats, key,
+                                   iters=args.iters)
+
+    kw_feats = jnp.asarray(rng.randn(B, K, D).astype(np.float32))
+
+    @jax.jit
+    def head_fwd_bwd(p, kw_feats, k):
+        def f(kw_feats):
+            tok = jax.lax.stop_gradient(
+                p["clip"]["text"]["token_embedding"]["embedding"])
+            vq, kws = model.apply(
+                {"params": p, "batch_stats": bstats},
+                method=lambda m: m.cascaded_branch.keyword_head(
+                    kw_feats, tok, training=True, num_updates=gstep,
+                    deterministic=False),
+                rngs={"dropout": k, "vq": jax.random.fold_in(k, 1)},
+                mutable=["batch_stats"],
+            )[0]
+            return kws.astype(jnp.float32).sum()
+        return jax.grad(f)(kw_feats).astype(jnp.float32).sum()
+
+    results["keyword_head_fwd_bwd(B,75,768)"] = timed(
+        head_fwd_bwd, params, kw_feats, key, iters=args.iters)
+
     # --- VQ op alone on (B, K, V) logits ---------------------------------
     cos = jnp.asarray(rng.randn(B, K, V).astype(np.float32) * 0.1)
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import ast
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -62,17 +62,24 @@ class TransformerArgs:
     activation: str = "gelu"
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
+    # compute dtype; set to bfloat16 by KWClipConfig.from_config when
+    # trainer.precision asks for 16-bit (the reference trains the branches
+    # under the same fp16 autocast as the towers, `base_task.py:197`).
+    # Never parsed from YAML (not part of the reference schema).
+    dtype: Any = jnp.float32
 
     @staticmethod
     def from_config(node) -> "TransformerArgs":
         d = node.to_dict() if hasattr(node, "to_dict") else dict(node)
         d.pop("batch_first", None)  # always batch-first here
+        d.pop("dtype", None)  # compute dtype comes from trainer.precision
         allowed = {f.name for f in dataclasses.fields(TransformerArgs)}
         return TransformerArgs(**{k: v for k, v in d.items() if k in allowed})
 
 
-def make_self_att(args: TransformerArgs, dtype=jnp.float32, name: str = "self_att"):
+def make_self_att(args: TransformerArgs, dtype=None, name: str = "self_att"):
     """Branch transformer factory (reference ``kw_branches.py:31-42``)."""
+    dtype = args.dtype if dtype is None else dtype
     if args.type == "TransformerEncoder":
         return TransformerEncoder(
             n_layers=args.n_layers,
@@ -267,6 +274,11 @@ class KeywordHeadConfig:
     vq: VQConfig = VQConfig()
     bn: KwBnConfig = KwBnConfig()
     keyword_num: int = 8
+    # compute dtype for the projection and the two (B*K, V)-sized matmuls;
+    # bfloat16 under trainer.precision 16 (VQ softmax/statistics stay fp32
+    # inside ops/vq.py regardless — only storage of the score/prob buffers
+    # narrows, matching the reference's fp16-autocast effective precision)
+    dtype: Any = jnp.float32
 
 
 class KeywordHead(nn.Module):
@@ -291,10 +303,11 @@ class KeywordHead(nn.Module):
     ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
         c = self.cfg
         if c.kw_proj_dims is None:
-            x = nn.Dense(c.text_dim, name="linear_proj")(feats)
+            x = nn.Dense(c.text_dim, dtype=c.dtype, name="linear_proj")(feats)
         else:
             x = MLPLayers(
-                units=c.kw_proj_dims, dropout=c.kw_proj_dropout, name="linear_proj"
+                units=c.kw_proj_dims, dropout=c.kw_proj_dropout,
+                dtype=c.dtype, name="linear_proj"
             )(feats, deterministic=deterministic)
 
         if c.bn.enabled:
@@ -306,22 +319,27 @@ class KeywordHead(nn.Module):
                 name="bn_layer",
             )(x, training=training)
 
-        # cosine score against the codebook: normalize, then one matmul
+        # cosine score against the codebook: normalize (fp32 for a stable
+        # norm), then one matmul on the MXU. Under bf16 the operands and the
+        # (B, K, V) score buffer are stored bf16 with fp32 accumulation —
+        # the reference's fp16 autocast produces fp16 score matrices the
+        # same way (`kw_branches.py:158-179` under `precision: 16`).
         emb = jnp.asarray(token_embedding, jnp.float32)
         xn = x.astype(jnp.float32)
         xn = xn / jnp.maximum(jnp.linalg.norm(xn, axis=-1, keepdims=True), 1e-8)
         en = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
         cos_score = jnp.einsum(
-            "bkd,vd->bkv", xn, en, preferred_element_type=jnp.float32
-        )
+            "bkd,vd->bkv", xn.astype(c.dtype), en.astype(c.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(c.dtype)
 
         vq_results = SimpleVectorQuantizer(cfg=c.vq, name="vector_quantizer")(
             cos_score, training=training, num_updates=num_updates
         )
         keywords = jnp.einsum(
             "bkv,vd->bkd",
-            vq_results["subword_prob"].astype(jnp.float32),
-            emb,
+            vq_results["subword_prob"],
+            emb.astype(c.dtype),
             preferred_element_type=jnp.float32,
         )
         return vq_results, keywords

@@ -190,7 +190,8 @@ class KWClipConfig:
         precision = str(
             getattr(getattr(cfg, "trainer", None), "precision", 32) or 32
         ).lower()
-        if precision in ("16", "16-mixed", "bf16", "bf16-mixed", "bfloat16"):
+        half = precision in ("16", "16-mixed", "bf16", "bf16-mixed", "bfloat16")
+        if half:
             audio_cfg = dataclasses.replace(audio_cfg, dtype=jnp.bfloat16)
             clip_cfg = dataclasses.replace(clip_cfg, dtype=jnp.bfloat16)
 
@@ -315,6 +316,16 @@ class KWClipConfig:
         )
         pb = getattr(ms, "parallel_branch", None)
         p_proj_cfg = getattr(pb, "projection_config", None) if pb is not None else None
+
+        # 16-bit training runs the branch transformers and the two
+        # (B*K, V)-sized keyword-head matmuls in bf16 too — the reference's
+        # fp16 autocast covers the branches exactly like the towers
+        # (`base_task.py:197`). VQ softmax/statistics and BN stay fp32
+        # inside ops/* regardless of this flag.
+        if half:
+            cascaded_ta = dataclasses.replace(cascaded_ta, dtype=jnp.bfloat16)
+            parallel_ta = dataclasses.replace(parallel_ta, dtype=jnp.bfloat16)
+            head = dataclasses.replace(head, dtype=jnp.bfloat16)
 
         def _proj(name):
             node = ms.get(name, None) if hasattr(ms, "get") else None

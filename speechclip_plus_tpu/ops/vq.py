@@ -75,23 +75,34 @@ def simple_vector_quantizer(
     k = jnp.argmax(flat, axis=-1)
     hard_x = jax.nn.one_hot(k, V, dtype=flat.dtype)
 
+    # --- logging statistics --------------------------------------------
+    # The reference logs (never backprops) every statistic below: the
+    # training loss is contrastive (+ CIF quantity), and `diversity_loss`
+    # is computed but not added (`kwClip.py:929-948`, only
+    # temp/perplexities/ent_per_t reach log_metrics). Computing them on a
+    # stop_gradient input keeps the values identical while freeing XLA
+    # from building a second softmax backward over the (B*T, V) buffers —
+    # measured 61 ms -> fraction of that at (128, 75, 8112) on v5e.
+    flat_sg = jax.lax.stop_gradient(flat).astype(jnp.float32)
+
     # codebook perplexity from hard assignments
-    hard_probs = hard_x.astype(jnp.float32).mean(axis=0)
+    hard_probs = jax.lax.stop_gradient(hard_x).astype(jnp.float32).mean(axis=0)
     result["code_perplexity"] = jnp.exp(
         -jnp.sum(hard_probs * jnp.log(hard_probs + 1e-7), axis=-1)
     )
 
-    soft_all = jax.nn.softmax(flat.astype(jnp.float32), axis=-1)
+    soft_all = jax.nn.softmax(flat_sg, axis=-1)
     avg_probs = soft_all.mean(axis=0)
     result["prob_perplexity"] = jnp.exp(
         -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-7), axis=-1)
     )
 
-    probs_per_t = soft_all.reshape(B, T, V).transpose(1, 0, 2)  # (T, B, V)
-    ent_per_t = -jnp.sum(probs_per_t * jnp.log(probs_per_t + 1e-9), axis=-1).mean(
-        axis=-1
-    )
-    result["ent_per_t"] = ent_per_t
+    # per-timestep entropy, reduced over V then averaged over the batch —
+    # same value as the reference's (T, B, V) transpose layout
+    # (`my_vector_quantizer.py:110-118`) without materializing the
+    # transposed copy.
+    ent = -jnp.sum(soft_all * jnp.log(soft_all + 1e-9), axis=-1)  # (B*T,)
+    result["ent_per_t"] = ent.reshape(B, T).mean(axis=0)
 
     result["temp"] = jnp.asarray(temp, dtype=jnp.float32)
 

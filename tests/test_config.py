@@ -70,6 +70,10 @@ def test_trainer_precision_drives_tower_dtypes(tmp_path):
     mc = KWClipConfig.from_config(shipped)
     assert mc.audio.dtype == jnp.bfloat16
     assert mc.clip.dtype == jnp.bfloat16
+    # the branches train under the same autocast as the towers
+    assert mc.cascaded_ta.dtype == jnp.bfloat16
+    assert mc.parallel_ta.dtype == jnp.bfloat16
+    assert mc.head.dtype == jnp.bfloat16
 
     # precision 16 (the reference's literal value) also maps to bf16 on TPU
     shipped.trainer.precision = 16
@@ -80,6 +84,8 @@ def test_trainer_precision_drives_tower_dtypes(tmp_path):
     shipped.trainer.precision = 32
     mc32 = KWClipConfig.from_config(shipped)
     assert mc32.audio.dtype == jnp.float32
+    assert mc32.cascaded_ta.dtype == jnp.float32
+    assert mc32.head.dtype == jnp.float32
     tiny = load_config(
         __import__("os").path.join(repo, "config", "dev", "tiny.yaml")
     )
