@@ -25,3 +25,8 @@ from .hubert import (  # noqa: F401
     hubert_feat_lengths,
     normalize_waveform,
 )
+from .mel_upstreams import (  # noqa: F401
+    MelUpstream,
+    MelUpstreamConfig,
+    import_torch_lstm_state,
+)

@@ -123,6 +123,12 @@ class HubertConfig:
             r *= s
         return r
 
+    @property
+    def num_hidden_states(self) -> int:
+        # encoder input + every layer output (13 base / 25 large), the
+        # weighted-sum width (reference weighted_sum.py:10-45)
+        return self.n_layers + 1
+
     @staticmethod
     def base() -> "HubertConfig":
         return HubertConfig()
@@ -152,9 +158,10 @@ class HubertConfig:
         model), so both name families resolve here — wav2vec2 checkpoints
         load through the same fairseq importer (`checkpoint/towers.py:
         fairseq_hubert_to_flax`; the extra quantizer/mask_emb keys in a
-        wav2vec2 ckpt are simply not referenced). Other s3prl upstreams
-        (apc, vq-apc, tera, decoar, ...) are different architectures and
-        are out of scope — a clear error beats a silent fallback.
+        wav2vec2 ckpt are simply not referenced). Mel-input s3prl upstreams
+        (apc, vq-apc, tera, mockingjay, decoar2) live in
+        `models/mel_upstreams.py`; `KWClipConfig.from_config` falls back to
+        them when this raises.
         """
         n = name.lower()
         if "hubert" in n or "wav2vec2" in n or "wav2vec" in n:
@@ -162,11 +169,10 @@ class HubertConfig:
                 HubertConfig.large() if "large" in n else HubertConfig.base()
             )
         raise NotImplementedError(
-            f"audio_encoder.name={name!r}: the TPU rebuild implements the "
-            "wav2vec2/HuBERT tower family (hubert_base, hubert_large_ll60k, "
-            "wav2vec2_base, wav2vec2_large_ll60k, ...); other s3prl "
-            "upstreams are out of scope (reference "
-            "speech_encoder_plus.py:110-146 delegates to s3prl.hub)"
+            f"audio_encoder.name={name!r} is not a wav2vec2/HuBERT-family "
+            "upstream (hubert_base, hubert_large_ll60k, wav2vec2_base, ...); "
+            "mel-input upstreams resolve via MelUpstreamConfig "
+            "(models/mel_upstreams.py)"
         )
 
     @staticmethod

@@ -45,6 +45,7 @@ from .branches import (
 from .cif import CifConfig
 from .clip import ClipConfig, ClipModel
 from .hubert import HubertConfig, HubertModel, hubert_feat_lengths
+from .mel_upstreams import MelUpstream, MelUpstreamConfig
 
 __all__ = ["ClLossConfig", "KWClipConfig", "KWClip", "compute_loss",
            "init_kw_bn_from_token_embedding"]
@@ -179,9 +180,15 @@ class KWClipConfig:
                 d_model=int(getattr(cfg.audio_encoder, "tiny_width", 32))
             )
         else:
-            # s3prl-style upstream name -> tower config (wav2vec2/HuBERT
-            # family supported natively; others raise, see hubert.py)
-            audio_cfg = HubertConfig.from_upstream_name(audio_name)
+            # s3prl-style upstream name -> tower config: wav2vec2/HuBERT
+            # family (native conv-transformer tower, hubert.py), else the
+            # mel-input families (APC/VQ-APC LSTMs, TERA/Mockingjay/DeCoAR2
+            # mel transformers, mel_upstreams.py); truly exotic upstreams
+            # still raise with a clear message.
+            try:
+                audio_cfg = HubertConfig.from_upstream_name(audio_name)
+            except NotImplementedError:
+                audio_cfg = MelUpstreamConfig.from_upstream_name(audio_name)
 
         # trainer.precision drives the tower compute dtype: the reference
         # trains fp16 via Lightning (`spchclip_h+.yaml:141`, `base_task.py:197`);
@@ -236,6 +243,14 @@ class KWClipConfig:
             "reinit_layers and unfreeze_layers are mutually exclusive "
             "(reference speech_encoder_plus.py:418)"
         )
+        if (reinit_layers or unfreeze_layers) and isinstance(
+            audio_cfg, MelUpstreamConfig
+        ):
+            raise NotImplementedError(
+                "reinit_layers/unfreeze_layers subset policies are "
+                "implemented for the HuBERT/wav2vec2 tower only "
+                "(optim/optimizer.py:audio_subset_mask)"
+            )
 
         # Reference-effective behavior: the frozen encoder's eval() at init
         # (`speech_encoder_plus.py:402`) is undone by Lightning's recursive
@@ -397,8 +412,11 @@ class KWClip(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.audio_encoder = HubertModel(c.audio, name="audio_encoder")
-        n_weights = c.audio.n_layers + 1
+        if isinstance(c.audio, MelUpstreamConfig):
+            self.audio_encoder = MelUpstream(c.audio, name="audio_encoder")
+        else:
+            self.audio_encoder = HubertModel(c.audio, name="audio_encoder")
+        n_weights = c.audio.num_hidden_states
         self.hidden_weights = self.param(
             "weightedsum", nn.initializers.zeros, (n_weights,)
         )

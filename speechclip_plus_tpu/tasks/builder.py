@@ -136,8 +136,19 @@ def build_model_from_config(
     params = dict(variables["params"])
 
     # ---- frozen tower weights (local files only; no downloads) ----
+    from ..models.mel_upstreams import MelUpstreamConfig
+
     hubert_path = getattr(cfg.audio_encoder, "ckpt_path", None)
-    if hubert_path and os.path.exists(hubert_path):
+    if isinstance(model_cfg.audio, MelUpstreamConfig):
+        if hubert_path:
+            logger.warning(
+                "audio_encoder.ckpt_path is only importable for the "
+                "HuBERT/wav2vec2 tower (fairseq format); the %s mel "
+                "upstream stays randomly initialized "
+                "(import_torch_lstm_state covers the LSTM family)",
+                model_cfg.audio.kind,
+            )
+    elif hubert_path and os.path.exists(hubert_path):
         sd = load_torch_state_dict(hubert_path)
         random_audio = params["audio_encoder"]  # keep for reinit_layers
         params["audio_encoder"] = fairseq_hubert_to_flax(sd, model_cfg.audio)
