@@ -19,12 +19,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, *args, iters=5, chain=10):
+def timed(fn, *args, iters=5, chain=10, label=""):
     """Each fn must return a SCALAR. Chained timing: dispatch `chain` async
     calls, ONE host sync at the end — on the remote axon backend every
     float() costs a ~33 ms tunnel round trip, which would otherwise be
     billed to each measurement (block_until_ready alone does not drain the
     queue there, so the sync must be a value fetch)."""
+    if label:
+        print(f"[{time.strftime('%H:%M:%S')}] compiling {label} ...",
+              flush=True)
     float(fn(*args))  # compile + first sync
     times = []
     for _ in range(iters):
@@ -32,6 +35,9 @@ def timed(fn, *args, iters=5, chain=10):
         outs = [fn(*args) for _ in range(chain)]
         float(outs[-1])
         times.append((time.perf_counter() - t0) / chain)
+    if label:
+        print(f"[{time.strftime('%H:%M:%S')}] {label}: "
+              f"{min(times) * 1e3:.2f} ms", flush=True)
     return min(times)
 
 
@@ -96,7 +102,8 @@ def main():
         return m["train_loss"]
 
     results["full_step_fwd_bwd_adam"] = timed(full, state, batch, key,
-                                              iters=args.iters)
+                                              iters=args.iters,
+                                              label="full_step_fwd_bwd_adam")
 
     hub_cfg = model_cfg.audio
     audio_params = params["audio_encoder"]
@@ -116,7 +123,8 @@ def main():
         return out.astype(jnp.float32).sum()
 
     results["hubert_conv_frontend_fwd"] = timed(conv_front, audio_params, wav,
-                                                iters=args.iters)
+                                                iters=args.iters,
+                                                label="hubert_conv_frontend_fwd")
 
     hub = HubertModel(hub_cfg)
 
@@ -125,7 +133,8 @@ def main():
         return hub.apply({"params": p}, w, m)["x"].astype(jnp.float32).sum()
 
     results["hubert_tower_fwd"] = timed(hub_full, audio_params, wav, wav_pad,
-                                        iters=args.iters)
+                                        iters=args.iters,
+                                        label="hubert_tower_fwd")
 
     # train-mode tower (the product step runs dropout inside the frozen
     # tower — Lightning-effective reference behavior): the delta vs
@@ -139,7 +148,8 @@ def main():
 
     try:
         results["hubert_tower_fwd_train_mode"] = timed(
-            hub_train, audio_params, wav, wav_pad, key, iters=args.iters)
+            hub_train, audio_params, wav, wav_pad, key, iters=args.iters,
+            label="hubert_tower_fwd_train_mode")
     except Exception as e:
         print("train-mode tower timing failed:", repr(e))
 
@@ -172,7 +182,8 @@ def main():
 
     try:
         results["post_tower_fwd_bwd_incl_text"] = timed(
-            rest_fwd_bwd, params, feats, key, iters=args.iters)
+            rest_fwd_bwd, params, feats, key, iters=args.iters,
+            label="post_tower_fwd_bwd_incl_text")
     except Exception as e:
         print("post-tower timing failed:", repr(e))
 
@@ -190,7 +201,8 @@ def main():
     try:
         results["optimizer_update"] = timed(adam_only, params,
                                             state.opt_state, grads,
-                                            iters=args.iters)
+                                            iters=args.iters,
+                                            label="optimizer_update")
     except Exception as e:
         print("optimizer timing failed:", repr(e))
 
@@ -200,7 +212,8 @@ def main():
         return out.astype(jnp.float32).sum()
 
     results["clip_image_tower_fwd"] = timed(img_fwd, params, batch["image"],
-                                            iters=args.iters)
+                                            iters=args.iters,
+                                            label="clip_image_tower_fwd")
 
     # text tower fwd+bwd on K=75-slot pseudo sequences (the cascaded branch
     # pushes keywords through the frozen tower and needs input gradients)
@@ -221,7 +234,8 @@ def main():
 
     try:
         results["clip_text_tower_fwd_bwd"] = timed(text_fwd_bwd, params, kw,
-                                                   iters=args.iters)
+                                                   iters=args.iters,
+                                                   label="clip_text_tower_fwd_bwd")
     except Exception as e:
         print("text tower timing failed:", repr(e))
 

@@ -272,6 +272,19 @@ class KWClipConfig:
                 activation_dropout=0.0, layer_drop=0.0,
             )
 
+        # optional additive key (not in the reference schema):
+        # `audio_encoder.remat: true` rematerializes each scanned tower
+        # layer in the backward pass. Only meaningful when tower layers
+        # are trainable (frozen towers run under stop_gradient and keep no
+        # backward residuals); auto-on for a trainable large tower
+        # (24x1024), where per-layer residuals would not fit v5e HBM at
+        # the reference recipe.
+        remat = getattr(cfg.audio_encoder, "remat", None)
+        if hasattr(audio_cfg, "remat"):
+            if remat is None:
+                remat = audio_is_trainable and audio_cfg.d_model >= 1024
+            audio_cfg = dataclasses.replace(audio_cfg, remat=bool(remat))
+
         def _branch_ta(branch_node) -> TransformerArgs:
             """Parse transformer_args; the original-SpeechCLIP config family
             puts the block type in a sibling `transformer_type` key

@@ -137,3 +137,34 @@ def test_frontend_chunks_auto_from_batch_size():
     base["audio_encoder"]["frontend_chunks"] = 4
     assert KWClipConfig.from_config(
         ConfigNode(base)).audio.frontend_chunks == 4
+
+
+def test_remat_knob_through_config():
+    """`audio_encoder.remat` (additive key) reaches HubertConfig; default is
+    auto — off for frozen towers (stop_gradient keeps no residuals), on for
+    a trainable large tower where per-layer residuals exceed v5e HBM."""
+    import os
+
+    from speechclip_plus_tpu.models.kwclip import KWClipConfig
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    shipped = load_config(
+        os.path.join(repo, "config", "speechclip_plus", "large", "flickr",
+                     "hybrid_plus.yaml")
+    )
+    # frozen large tower: no remat by default
+    assert KWClipConfig.from_config(shipped).audio.remat is False
+    # explicit opt-in
+    shipped.audio_encoder.remat = True
+    assert KWClipConfig.from_config(shipped).audio.remat is True
+    # trainable large tower: auto-on
+    del shipped.audio_encoder["remat"]
+    shipped.audio_encoder.trainable = True
+    assert KWClipConfig.from_config(shipped).audio.remat is True
+    # trainable base tower: auto-off (fits comfortably)
+    base = load_config(
+        os.path.join(repo, "config", "speechclip_plus", "base",
+                     "hybrid_plus.yaml")
+    )
+    base.audio_encoder.trainable = True
+    assert KWClipConfig.from_config(base).audio.remat is False
