@@ -90,6 +90,10 @@ def _product_path_setup():
     cfg = load_config(CONFIG)
     if os.environ.get("BENCH_FROZEN_DROPOUT") == "0":
         cfg.audio_encoder.frozen_dropout = False
+    if os.environ.get("BENCH_FUSED_ATTN"):
+        cfg.audio_encoder.fused_attention = (
+            os.environ["BENCH_FUSED_ATTN"] == "1"
+        )
     vocab = resolve_reduced_vocab(cfg)
     model_cfg = KWClipConfig.from_config(
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),

@@ -86,6 +86,12 @@ class HubertConfig:
     # attention is near-optimal at the reference's <=320 frames, so this is
     # off by default and intended for long-audio regimes (nn/flash.py)
     use_flash_attention: bool = False
+    # Forward-only fused attention with IN-KERNEL dropout
+    # (nn/fused_attention.py): eliminates the (B, H, T, T) dropout-mask
+    # RNG + HBM traffic and the score tensor round trips. Valid only for
+    # a frozen tower (no backward exists); KWClipConfig.from_config turns
+    # it on exactly then. Falls back to XLA off-TPU.
+    fused_attention_dropout: bool = False
     # stochastic LayerDrop rate (fairseq `encoder.layerdrop`, set from config
     # `audio_encoder.layer_drop`, reference speech_encoder_plus.py:407-415).
     # Active only in training. Static-shape formulation: a dropped layer
@@ -600,7 +606,21 @@ class HubertEncoderLayer(nn.Module):
             kk = nn.Dense(D, dtype=c.dtype, name="k_proj")(h)
             v = nn.Dense(D, dtype=c.dtype, name="v_proj")(h)
             split = lambda t: t.reshape(B, T, c.n_heads, dh).transpose(0, 2, 1, 3)
-            if c.use_flash_attention and (
+            if c.fused_attention_dropout:
+                from ..nn.fused_attention import fused_attention_dropout
+
+                out = fused_attention_dropout(
+                    split(q),
+                    split(kk),
+                    split(v),
+                    key_padding_bias,
+                    dropout_rate=c.attention_dropout,
+                    dropout_rng=self.make_rng("dropout")
+                    if (c.attention_dropout > 0 and not deterministic)
+                    else None,
+                    deterministic=deterministic,
+                )
+            elif c.use_flash_attention and (
                 deterministic or c.attention_dropout == 0.0
             ):
                 from ..nn.flash import flash_attention

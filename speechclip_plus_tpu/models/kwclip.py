@@ -272,6 +272,24 @@ class KWClipConfig:
                 activation_dropout=0.0, layer_drop=0.0,
             )
 
+        # optional additive key: `audio_encoder.fused_attention` selects the
+        # forward-only Pallas attention kernel with in-kernel dropout for
+        # the tower (nn/fused_attention.py). Only legal when the tower is
+        # frozen (the kernel has no backward); auto default is decided by
+        # the hardware A/B (bench.py BENCH_FUSED_ATTN) — see PERF.md.
+        fused_attn = getattr(cfg.audio_encoder, "fused_attention", None)
+        if fused_attn and audio_is_trainable:
+            raise ValueError(
+                "audio_encoder.fused_attention requires a frozen tower "
+                "(forward-only kernel, nn/fused_attention.py)"
+            )
+        if fused_attn is not None and hasattr(
+            audio_cfg, "fused_attention_dropout"
+        ):
+            audio_cfg = dataclasses.replace(
+                audio_cfg, fused_attention_dropout=bool(fused_attn)
+            )
+
         # optional additive key (not in the reference schema):
         # `audio_encoder.remat: true` rematerializes each scanned tower
         # layer in the backward pass. Only meaningful when tower layers

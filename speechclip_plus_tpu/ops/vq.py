@@ -85,8 +85,13 @@ def simple_vector_quantizer(
     # measured 61 ms -> fraction of that at (128, 75, 8112) on v5e.
     flat_sg = jax.lax.stop_gradient(flat).astype(jnp.float32)
 
-    # codebook perplexity from hard assignments
-    hard_probs = jax.lax.stop_gradient(hard_x).astype(jnp.float32).mean(axis=0)
+    # codebook perplexity from hard assignments: a bincount of k — same
+    # value as one_hot(k).mean(0) without reducing a (B*T, V) fp32 buffer
+    hard_probs = (
+        jnp.zeros((V,), jnp.float32)
+        .at[k].add(1.0, mode="drop")
+        / jnp.float32(B * T)
+    )
     result["code_perplexity"] = jnp.exp(
         -jnp.sum(hard_probs * jnp.log(hard_probs + 1e-7), axis=-1)
     )
@@ -106,6 +111,12 @@ def simple_vector_quantizer(
 
     result["temp"] = jnp.asarray(temp, dtype=jnp.float32)
 
+    # argmax of the (eventual) `out`, tracked alongside so `targets` never
+    # re-argmaxes the (B*T, V) buffer: for the non-gumbel paths the
+    # temperature softmax is monotone in the logits, so argmax(out) == k
+    # (hard forward value IS hard_x: soft - stop_gradient(soft) is exactly
+    # zero); only Gumbel noise can change the winner.
+    out_k = k
     if training:
         if use_gumbel:
             assert rng is not None, "Gumbel sampling requires an rng key"
@@ -115,8 +126,9 @@ def simple_vector_quantizer(
             soft = jax.nn.softmax(
                 (flat.astype(jnp.float32) + gumbel) / temp, axis=-1
             ).astype(flat.dtype)
+            out_k = jnp.argmax(soft, axis=-1)
             if hard:
-                g_hard = jax.nn.one_hot(jnp.argmax(soft, axis=-1), V, dtype=flat.dtype)
+                g_hard = jax.nn.one_hot(out_k, V, dtype=flat.dtype)
                 out = g_hard + soft - jax.lax.stop_gradient(soft)
             else:
                 out = soft
@@ -143,8 +155,6 @@ def simple_vector_quantizer(
         result["diversity_loss"] = (num_vars_f - result["prob_perplexity"]) / num_vars_f
 
     if produce_targets:
-        result["targets"] = jax.lax.stop_gradient(
-            jnp.argmax(out.reshape(B * T, V), axis=-1).reshape(B, T, 1)
-        )
+        result["targets"] = jax.lax.stop_gradient(out_k.reshape(B, T, 1))
 
     return result
