@@ -211,8 +211,13 @@ def fused_attention_dropout(
         keep = 1.0 - float(dropout_rate)
         keep_thresh = min(int(round(keep * 2.0 ** 32)), 2 ** 32 - 1)
         inv_keep = 1.0 / keep
+        # XOR all key words into the seed: fold_in on some impls (rbg)
+        # perturbs only part of the key data, and per-layer streams must
+        # stay independent
         data = jax.random.key_data(dropout_rng).astype(jnp.uint32)
-        seed = data.reshape(-1)[:1].astype(jnp.int32)
+        seed = jax.lax.reduce(
+            data.reshape(-1), jnp.uint32(0), jax.lax.bitwise_xor, (0,)
+        ).reshape(1).astype(jnp.int32)
     else:
         keep_thresh, inv_keep = None, 1.0
         seed = jnp.zeros((1,), jnp.int32)
