@@ -95,3 +95,36 @@ def test_config_rejects_trainable_tower():
     cfg.audio_encoder.trainable = True
     with pytest.raises(ValueError):
         KWClipConfig.from_config(cfg)
+
+
+def test_kwclip_forward_with_fused_flag():
+    """The fused-attention flag must wire through a full train-mode KWClip
+    forward (CPU exercises the plumbing via the XLA fallback inside
+    fused_attention_dropout; the kernel itself is covered above and by
+    scripts/bench_fused_attention.py on-chip)."""
+    import dataclasses
+
+    import numpy as np
+
+    from speechclip_plus_tpu.models import KWClip
+    from tests.test_kwclip_model import make_batch, tiny_cfg
+
+    cfg = tiny_cfg("HybridBranch_plus")
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, fused_attention_dropout=True)
+    )
+    model = KWClip(cfg)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss_feats, logs, _), _ = model.apply(
+        variables, batch, training=True,
+        global_step=jnp.zeros((), jnp.int32),
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "vq": jax.random.PRNGKey(2),
+              "layer_drop": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+    losses = model.apply(variables, loss_feats, method=KWClip.compute_loss)
+    assert np.isfinite(float(losses["loss"]))
