@@ -94,6 +94,10 @@ def _product_path_setup():
         cfg.audio_encoder.fused_attention = (
             os.environ["BENCH_FUSED_ATTN"] == "1"
         )
+    if os.environ.get("BENCH_FUSED_ST"):
+        # A/B the fused straight-through VQ->codebook path (default ON)
+        node = cfg.model_settings.cascaded_branch.vq.args
+        node.fused_st = os.environ["BENCH_FUSED_ST"] == "1"
     vocab = resolve_reduced_vocab(cfg)
     model_cfg = KWClipConfig.from_config(
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),

@@ -118,6 +118,10 @@ class VQConfig:
     time_first: bool = True
     prob_msk: Tuple[int, ...] = (0, 2, 3)
     ground_truth_perplexity: Optional[float] = None
+    # fused straight-through quantize+reconstruct (gather forward /
+    # analytic custom_vjp backward, `ops.vq.st_codebook_matmul`) — value-
+    # and gradient-equivalent to the materialized form; flag kept for A/B
+    fused_st: bool = True
 
     @staticmethod
     def from_config(node) -> "VQConfig":
@@ -146,6 +150,7 @@ class VQConfig:
             hard=bool(d.get("hard", True)),
             time_first=bool(d.get("time_first", True)),
             ground_truth_perplexity=d.get("groundTruthPerplexity", None),
+            fused_st=bool(d.get("fused_st", True)),
         )
 
 
@@ -189,6 +194,7 @@ class SimpleVectorQuantizer(nn.Module):
         *,
         training: bool = False,
         num_updates: Optional[jnp.ndarray] = None,
+        codebook: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         if c.temp_type == "learnable":
@@ -214,6 +220,8 @@ class SimpleVectorQuantizer(nn.Module):
             rng=rng,
             ground_truth_perplexity=c.ground_truth_perplexity,
             time_first=c.time_first,
+            codebook=codebook,
+            fused_st=c.fused_st,
         )
 
 
@@ -334,14 +342,12 @@ class KeywordHead(nn.Module):
         ).astype(c.dtype)
 
         vq_results = SimpleVectorQuantizer(cfg=c.vq, name="vector_quantizer")(
-            cos_score, training=training, num_updates=num_updates
+            cos_score,
+            training=training,
+            num_updates=num_updates,
+            codebook=emb.astype(c.dtype),
         )
-        keywords = jnp.einsum(
-            "bkv,vd->bkd",
-            vq_results["subword_prob"],
-            emb.astype(c.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        keywords = vq_results.pop("keywords")
         return vq_results, keywords
 
 

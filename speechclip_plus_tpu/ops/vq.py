@@ -18,9 +18,91 @@ from typing import Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["simple_vector_quantizer", "scheduled_temperature"]
+__all__ = [
+    "simple_vector_quantizer",
+    "scheduled_temperature",
+    "st_codebook_matmul",
+]
 
 _MASK_VALUE = -1e30
+
+
+# ------------------------------------------------------- fused ST matmul ----
+#
+# The straight-through path `out = onehot(argmax) + soft - stop_gradient(soft)`
+# followed by `keywords = out @ codebook` (reference
+# ``my_vector_quantizer.py:138-141`` + ``kw_branches.py:195``) has
+# `codebook[argmax]` as its forward value — the +soft/-soft pair cancels up
+# to one ulp of the `(1 + soft_k) - soft_k` rounding (for fp32 scores the
+# winner's coefficient lands at 1 ± 2^-24 instead of exactly 1; the gather
+# form is the estimator's idealized value). Naive AD materializes the
+# (B*T, V) softmax, the ST combine, and a dense one-hot matmul, plus a
+# softmax-jacobian backward over the same buffers. This custom_vjp computes
+# the forward as a gather and the analytically identical backward in fp32:
+#
+#   z = s / t,  p = softmax(z),  u = g @ codebook^T,  rho = sum(p * u, -1)
+#   ds = p * (u - rho) / t
+#   dcodebook = scatter-add of g rows at argmax (the one-hot transpose)
+#   dt = sum(p * (u - rho) * (-s / t^2))
+#
+# eliminating every (B*T, V) HBM round trip the estimator forced on XLA.
+
+
+def _st_fwd_value(scores: jnp.ndarray, codebook: jnp.ndarray, temp: jnp.ndarray):
+    k = jnp.argmax(scores, axis=-1)
+    return jnp.take(codebook, k, axis=0).astype(jnp.float32)
+
+
+@jax.custom_vjp
+def st_codebook_matmul(
+    scores: jnp.ndarray, codebook: jnp.ndarray, temp: jnp.ndarray
+) -> jnp.ndarray:
+    """Straight-through quantize + codebook reconstruct.
+
+    Forward: ``codebook[argmax(scores, -1)]`` in fp32 — the materialized
+    ``(onehot + softmax(scores/temp) - sg(softmax)) @ codebook`` up to one
+    ulp of float cancellation. Backward: the straight-through estimator's
+    exact gradient.
+
+    Args:
+      scores: (..., V) masked cosine scores (special columns at -1e30).
+      codebook: (V, D) embedding table (storage dtype preserved in values).
+      temp: scalar softmax temperature (differentiable if learnable).
+
+    Returns:
+      (..., D) fp32 reconstructed keywords.
+    """
+    return _st_fwd_value(scores, codebook, temp)
+
+
+def _st_cm_fwd(scores, codebook, temp):
+    return _st_fwd_value(scores, codebook, temp), (scores, codebook, temp)
+
+
+def _st_cm_bwd(res, g):
+    scores, codebook, temp = res
+    s = scores.astype(jnp.float32)
+    t = jnp.asarray(temp, jnp.float32)
+    g32 = g.astype(jnp.float32)
+    cb = codebook.astype(jnp.float32)
+    p = jax.nn.softmax(s / t, axis=-1)
+    u = jnp.einsum("...d,vd->...v", g32, cb)
+    rho = jnp.sum(p * u, axis=-1, keepdims=True)
+    dz = p * (u - rho)  # dL/d(s/t)
+    ds = (dz / t).astype(scores.dtype)
+    # one-hot transpose: scatter gradient rows onto the selected codewords
+    k = jnp.argmax(scores, axis=-1).reshape(-1)
+    dcb = (
+        jnp.zeros(codebook.shape, jnp.float32)
+        .at[k]
+        .add(g32.reshape(-1, g32.shape[-1]), mode="drop")
+        .astype(codebook.dtype)
+    )
+    dt = jnp.sum(dz * (-s / (t * t))).astype(jnp.float32).reshape(jnp.shape(temp))
+    return ds, dcb, dt
+
+
+st_codebook_matmul.defvjp(_st_cm_fwd, _st_cm_bwd)
 
 
 def scheduled_temperature(
@@ -42,6 +124,8 @@ def simple_vector_quantizer(
     ground_truth_perplexity: Optional[float] = None,
     produce_targets: bool = True,
     time_first: bool = True,
+    codebook: Optional[jnp.ndarray] = None,
+    fused_st: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Quantize codeword logits onto a discrete codebook.
 
@@ -54,11 +138,18 @@ def simple_vector_quantizer(
       hard: straight-through hard one-hot in the forward pass.
       rng: PRNG key for Gumbel sampling.
       ground_truth_perplexity: optional target for the diversity loss.
+      codebook: optional (V, D) embedding table; when given the op also
+        returns ``keywords = subword_prob @ codebook`` (fp32), using the
+        fused straight-through form (gather forward / analytic backward —
+        see ``st_codebook_matmul``) whenever ``fused_st`` and the
+        hard/eval path applies.
+      fused_st: disable to force the materialized einsum (A/B harness).
 
     Returns:
       dict with ``subword_prob`` (B, T, V), ``targets`` (B, T, 1),
       ``code_perplexity``, ``prob_perplexity``, ``ent_per_t`` (T,),
-      ``diversity_loss``, ``temp``, ``num_vars``.
+      ``diversity_loss``, ``temp``, ``num_vars``
+      (+ ``keywords`` (B, T, D) when ``codebook`` is given).
     """
     if not time_first:
         x = jnp.swapaxes(x, 1, 2)
@@ -117,6 +208,13 @@ def simple_vector_quantizer(
     # (hard forward value IS hard_x: soft - stop_gradient(soft) is exactly
     # zero); only Gumbel noise can change the winner.
     out_k = k
+    # the fused straight-through form applies whenever the forward value of
+    # `out` is exactly the hard one-hot: the ST training path and eval
+    use_fused = (
+        fused_st
+        and codebook is not None
+        and ((not training) or (hard and not use_gumbel))
+    )
     if training:
         if use_gumbel:
             assert rng is not None, "Gumbel sampling requires an rng key"
@@ -132,6 +230,14 @@ def simple_vector_quantizer(
                 out = g_hard + soft - jax.lax.stop_gradient(soft)
             else:
                 out = soft
+        elif hard and use_fused:
+            # keywords take the fused custom_vjp below; subword_prob's
+            # forward value under ST is the hard one-hot (the
+            # +soft/-sg(soft) pair cancels to within one ulp), and nothing
+            # differentiates through subword_prob itself (stats are
+            # stop_gradient, the loss consumes keywords), so the softmax is
+            # never built here
+            out = hard_x
         else:
             soft = jax.nn.softmax(flat.astype(jnp.float32) / temp, axis=-1).astype(
                 flat.dtype
@@ -145,6 +251,22 @@ def simple_vector_quantizer(
         out = hard_x
 
     result["subword_prob"] = out.reshape(B, T, V)
+
+    if codebook is not None:
+        if use_fused and training:
+            result["keywords"] = st_codebook_matmul(x, codebook, temp)
+        elif use_fused:
+            # eval: hard one-hot @ codebook is a gather
+            result["keywords"] = jnp.take(codebook, k, axis=0).astype(
+                jnp.float32
+            ).reshape(B, T, codebook.shape[-1])
+        else:
+            result["keywords"] = jnp.einsum(
+                "btv,vd->btd",
+                result["subword_prob"],
+                codebook,
+                preferred_element_type=jnp.float32,
+            )
 
     num_vars_f = jnp.float32(V)
     if ground_truth_perplexity is not None:

@@ -111,3 +111,76 @@ def test_scheduled_temperature():
     np.testing.assert_allclose(float(t), 2.0, rtol=1e-6)
     t2 = scheduled_temperature(2.0, 0.5, 0.5, jnp.asarray(10))
     np.testing.assert_allclose(float(t2), 0.5, rtol=1e-6)
+
+
+# ---------------------------------------------- fused ST codebook matmul ----
+
+
+def _vq_keywords(x, cb, temp, *, training, fused):
+    out = simple_vector_quantizer(
+        jnp.asarray(x),
+        temp=temp,
+        training=training,
+        codebook=cb,
+        fused_st=fused,
+    )
+    return out
+
+
+def test_fused_st_forward_matches_materialized():
+    x = _logits(B=3, T=4, V=17, seed=5)
+    cb = jnp.asarray(
+        np.random.default_rng(6).normal(size=(17, 9)).astype(np.float32)
+    )
+    for training in (True, False):
+        kw_f = _vq_keywords(x, cb, jnp.float32(0.1), training=training, fused=True)
+        kw_u = _vq_keywords(x, cb, jnp.float32(0.1), training=training, fused=False)
+        # forward is the hard one-hot @ codebook. The materialized ST chain
+        # `(1 + soft_k) - soft_k` rounds the winner's coefficient to
+        # 1 ± 2^-24, so parity is to one ulp, not bitwise.
+        np.testing.assert_allclose(
+            np.asarray(kw_f["keywords"]), np.asarray(kw_u["keywords"]),
+            rtol=3e-7, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kw_f["subword_prob"]), np.asarray(kw_u["subword_prob"]),
+            rtol=3e-7, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kw_f["targets"]), np.asarray(kw_u["targets"])
+        )
+
+
+def test_fused_st_gradients_match_materialized():
+    x = jnp.asarray(_logits(B=2, T=3, V=17, seed=7))
+    cb = jnp.asarray(
+        np.random.default_rng(8).normal(size=(17, 9)).astype(np.float32)
+    )
+    w = jnp.asarray(
+        np.random.default_rng(9).normal(size=(2, 3, 9)).astype(np.float32)
+    )
+
+    def loss(xj, cbj, tempj, fused):
+        out = _vq_keywords(xj, cbj, tempj, training=True, fused=fused)
+        return jnp.sum(out["keywords"] * w)
+
+    gx_f, gcb_f, gt_f = jax.grad(loss, argnums=(0, 1, 2))(x, cb, jnp.float32(0.3), True)
+    gx_u, gcb_u, gt_u = jax.grad(loss, argnums=(0, 1, 2))(x, cb, jnp.float32(0.3), False)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_u), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gcb_f), np.asarray(gcb_u), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(gt_f), float(gt_u), rtol=1e-4)
+
+
+def test_fused_st_bf16_scores_forward_bitexact():
+    x = jnp.asarray(_logits(B=2, T=3, V=17, seed=10), jnp.bfloat16)
+    cb = jnp.asarray(
+        np.random.default_rng(11).normal(size=(17, 9)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    kw_f = _vq_keywords(x, cb, jnp.float32(0.1), training=True, fused=True)
+    kw_u = _vq_keywords(x, cb, jnp.float32(0.1), training=True, fused=False)
+    assert kw_f["keywords"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(kw_f["keywords"], np.float32),
+        np.asarray(kw_u["keywords"], np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
