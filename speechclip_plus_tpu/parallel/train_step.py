@@ -99,12 +99,16 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     accumulate_grad_batches: int = 1,
+    state_sharding=None,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted SPMD train step.
 
     Returns `step_fn(state, batch, rng) -> (state, metrics)`. When `mesh` is
     given, input batches are expected sharded on the leading axis and the
     state replicated; without a mesh it is an ordinary single-device jit.
+    `state_sharding` (a NamedSharding tree matching TrainState, e.g. from
+    `tp.train_state_shardings`) overrides the replicated state layout for
+    tensor parallelism over a 2-D ("data", "model") mesh.
 
     `state.step` counts *micro*-steps (one per call); all schedule clocks —
     the LR schedule (via optax.MultiSteps' inner count), the VQ temperature
@@ -161,10 +165,11 @@ def make_train_step(
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
+        state_in = state_sharding if state_sharding is not None else repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_in, data, repl),
+            out_shardings=(state_in, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
