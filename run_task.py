@@ -4,7 +4,16 @@
     python run_task.py TrainKWClip_GeneralTransformer --config <yaml> --train
 """
 import argparse
+import os
 import sys
+
+# Honor an explicit JAX_PLATFORMS before any backend initializes: ambient
+# TPU plugins (e.g. the experimental axon tunnel) can clobber the env var
+# during `import jax`, silently routing a CPU-requested run onto the device.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import speechclip_plus_tpu.tasks as tasks
 

@@ -175,7 +175,7 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: KWClip, mesh=None) -> Callable:
+def make_eval_step(model: KWClip, mesh=None, state_sharding=None) -> Callable:
     """Jitted validation step: loss metrics + retrieval features
     (reference `validation_step`, `kwClip.py:195-246`)."""
 
@@ -208,7 +208,8 @@ def make_eval_step(model: KWClip, mesh=None) -> Callable:
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
+        state_in = state_sharding if state_sharding is not None else repl
         return jax.jit(
-            step_fn, in_shardings=(repl, data), out_shardings=(repl, repl)
+            step_fn, in_shardings=(state_in, data), out_shardings=(repl, repl)
         )
     return jax.jit(step_fn)

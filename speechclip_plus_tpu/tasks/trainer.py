@@ -63,7 +63,22 @@ class Trainer:
         devs = jax.devices()
         if devices and devices > 0:
             devs = devs[:devices]
-        self.mesh = make_mesh(devs) if len(devs) > 1 else None
+        # trainer.tensor_parallel: N > 1 builds a 2-D ("data","model") mesh
+        # and shards the towers Megatron-style (parallel/tp.py) — capability
+        # beyond the reference's DP-only scaling; default 1 = pure DP
+        tp = max(int(getattr(cfg_node.trainer, "tensor_parallel", 1) or 1), 1)
+        self._state_sharding = None
+        if tp > 1:
+            if len(devs) % tp:
+                raise ValueError(
+                    f"trainer.tensor_parallel={tp} must divide the "
+                    f"device count {len(devs)}"
+                )
+            from ..parallel import make_mesh_2d
+
+            self.mesh = make_mesh_2d(tp, devs)
+        else:
+            self.mesh = make_mesh(devs) if len(devs) > 1 else None
 
         from ..optim.optimizer import build_optimizer_from_config
 
@@ -74,10 +89,18 @@ class Trainer:
             int(getattr(cfg_node.trainer, "accumulate_grad_batches", 1) or 1), 1
         )
         self.state = create_train_state(model, variables, self.tx)
+        if tp > 1:
+            from ..parallel import train_state_shardings
+
+            self._state_sharding = train_state_shardings(self.state, self.mesh)
+            self.state = jax.device_put(self.state, self._state_sharding)
         self.train_step = make_train_step(
-            model, self.tx, mesh=self.mesh, accumulate_grad_batches=self.accum
+            model, self.tx, mesh=self.mesh, accumulate_grad_batches=self.accum,
+            state_sharding=self._state_sharding,
         )
-        self.eval_step = make_eval_step(model, mesh=self.mesh)
+        self.eval_step = make_eval_step(
+            model, mesh=self.mesh, state_sharding=self._state_sharding
+        )
 
         trainer_cfg = cfg_node.trainer
         # max_steps counts *optimizer* steps (Lightning semantics): with
@@ -110,8 +133,27 @@ class Trainer:
 
     def _device_batch(self, batch: Dict) -> Dict:
         import jax.numpy as jnp
+        import numpy as np
 
-        arr = {k: jnp.asarray(v) for k, v in batch.items()}
+        arr = {k: np.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            # the leading axis shards over the mesh's data axis: pad short
+            # batches (e.g. a small dev set) up to a multiple, zero rows
+            # masked out of losses/metrics via `valid` (collate convention)
+            dp = int(self.mesh.shape["data"])
+            n = next(iter(arr.values())).shape[0]
+            pad = (-n) % dp
+            if pad:
+                if "valid" not in arr:
+                    arr["valid"] = np.ones((n,), bool)
+                arr = {
+                    k: np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                    )
+                    for k, v in arr.items()
+                }
+                arr["valid"][n:] = False
+        arr = {k: jnp.asarray(v) for k, v in arr.items()}
         if self.mesh is not None:
             arr = shard_batch(arr, self.mesh)
         return arr
@@ -133,6 +175,9 @@ class Trainer:
         orbax dir (reference `--resume`, `base_task.py:60-61,206,211`)."""
         mgr = CheckpointManager(ckpt_dir)
         self.state = mgr.restore(self.state)
+        if self._state_sharding is not None:
+            # re-lay the restored state out over the (data, model) mesh
+            self.state = jax.device_put(self.state, self._state_sharding)
         fit_state = os.path.join(ckpt_dir, "fit_state.json")
         if os.path.exists(fit_state):
             with open(fit_state) as f:

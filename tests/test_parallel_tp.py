@@ -172,6 +172,56 @@ def test_tp_step_matches_single_device(dp, tp, branch_type, pw, cw):
 
 
 @pytest.mark.slow
+def test_trainer_tensor_parallel_knob(tmp_path):
+    """`trainer.tensor_parallel: 2` drives the product Trainer onto a
+    (data, model) mesh: fit runs, checkpoints, resumes, and the live state
+    is physically sharded."""
+    from speechclip_plus_tpu.config import ConfigNode
+    from speechclip_plus_tpu.parallel.tp import MODEL_AXIS
+    from speechclip_plus_tpu.tasks.trainer import Trainer
+
+    from test_kwclip_model import make_batch
+    from test_resume import _FakeLoader
+
+    cfg = tiny_cfg("HybridBranch_plus")
+    model = KWClip(cfg)
+    rng = np.random.RandomState(0)
+    batch = {k: np.asarray(v) for k, v in make_batch(rng).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        training=False,
+    )
+    # host snapshot: the donating train step deletes the device buffers the
+    # first Trainer's state shares with `variables`
+    variables = jax.tree.map(np.array, variables)
+    node = ConfigNode({
+        "trainer": {"max_steps": 2, "accumulate_grad_batches": 1,
+                    "gradient_clip_val": 4, "log_every_n_steps": 1,
+                    "tensor_parallel": 2},
+        "retrieval": {"audio_feat_src": "parallel", "recall_at": [1, 5, 10]},
+        "audio_encoder": {
+            "optim": {"name": "Adam", "args": {"lr": 1e-3, "weight_decay": 0}},
+            "scheduler": {"name": "linear_warmup_decay", "warmup": 2,
+                          "max_step": 8, "final_lr": 1e-8},
+        },
+    })
+    t = Trainer(model, variables, node, str(tmp_path / "tp_run"), devices=8)
+    assert t.mesh is not None and t.mesh.shape[MODEL_AXIS] == 2
+    q = t.state.params["audio_encoder"]["layers"]["layer"]["q_proj"]["kernel"]
+    assert q.sharding.spec[-1] == MODEL_AXIS
+    t.fit(_FakeLoader([batch, batch]), val_loader=[batch])
+    assert int(t.state.step) == 2
+
+    # resume re-lays the restored state out over the TP mesh
+    t2 = Trainer(model, variables, node, str(tmp_path / "tp_run2"), devices=8)
+    t2.resume(str(tmp_path / "tp_run" / "checkpoints"))
+    assert int(t2.state.step) == 2
+    q2 = t2.state.params["audio_encoder"]["layers"]["layer"]["q_proj"]["kernel"]
+    assert q2.sharding.spec[-1] == MODEL_AXIS
+
+
+@pytest.mark.slow
 def test_tp_actually_shards_the_big_kernels():
     """The annotations must materialize: q_proj lives split over the model
     axis, not replicated."""
