@@ -19,25 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, *args, iters=5, chain=20):
-    out = fn(*args)
-    jax_block(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(chain):
-            o = fn(*args)
-        jax_block(o)
-        times.append((time.perf_counter() - t0) / chain)
-    return min(times)
-
-
-def jax_block(x):
-    import jax
-
-    # value fetch (block_until_ready does not drain the axon queue)
-    float(jax.numpy.asarray(x).astype("float32").sum())
+from speechclip_plus_tpu.utils.timing import sync_value as jax_block, timed  # noqa: E402
 
 
 def main():

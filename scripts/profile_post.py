@@ -15,15 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, *args, iters=5, chain=10):
-    float(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(chain)]
-        float(outs[-1])
-        times.append((time.perf_counter() - t0) / chain)
-    return min(times)
+from speechclip_plus_tpu.utils.timing import timed  # noqa: E402
 
 
 def main():

@@ -19,26 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, *args, iters=5, chain=10, label=""):
-    """Each fn must return a SCALAR. Chained timing: dispatch `chain` async
-    calls, ONE host sync at the end — on the remote axon backend every
-    float() costs a ~33 ms tunnel round trip, which would otherwise be
-    billed to each measurement (block_until_ready alone does not drain the
-    queue there, so the sync must be a value fetch)."""
-    if label:
-        print(f"[{time.strftime('%H:%M:%S')}] compiling {label} ...",
-              flush=True)
-    float(fn(*args))  # compile + first sync
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(chain)]
-        float(outs[-1])
-        times.append((time.perf_counter() - t0) / chain)
-    if label:
-        print(f"[{time.strftime('%H:%M:%S')}] {label}: "
-              f"{min(times) * 1e3:.2f} ms", flush=True)
-    return min(times)
+from speechclip_plus_tpu.utils.timing import timed  # noqa: E402
 
 
 def main():

@@ -328,10 +328,13 @@ class KeywordHead(nn.Module):
             )(x, training=training)
 
         # cosine score against the codebook: normalize (fp32 for a stable
-        # norm), then one matmul on the MXU. Under bf16 the operands and the
-        # (B, K, V) score buffer are stored bf16 with fp32 accumulation —
-        # the reference's fp16 autocast produces fp16 score matrices the
-        # same way (`kw_branches.py:158-179` under `precision: 16`).
+        # norm), then one matmul on the MXU with bf16 operands and an fp32
+        # score buffer. The buffer must NOT be downcast to bf16: the VQ
+        # argmax ranks ~8k cosines packed into [-1, 1], and bf16's 7
+        # mantissa bits (resolution ~2^-8 near 1) create exact ties that
+        # argmax resolves toward low token ids, skewing codeword selection.
+        # The reference's fp16 autocast keeps 10 bits (~8x finer) there
+        # (`kw_branches.py:158-179` under `precision: 16`).
         emb = jnp.asarray(token_embedding, jnp.float32)
         xn = x.astype(jnp.float32)
         xn = xn / jnp.maximum(jnp.linalg.norm(xn, axis=-1, keepdims=True), 1e-8)
@@ -339,13 +342,13 @@ class KeywordHead(nn.Module):
         cos_score = jnp.einsum(
             "bkd,vd->bkv", xn.astype(c.dtype), en.astype(c.dtype),
             preferred_element_type=jnp.float32,
-        ).astype(c.dtype)
+        )
 
         vq_results = SimpleVectorQuantizer(cfg=c.vq, name="vector_quantizer")(
             cos_score,
             training=training,
             num_updates=num_updates,
-            codebook=emb.astype(c.dtype),
+            codebook=emb,
         )
         keywords = vq_results.pop("keywords")
         return vq_results, keywords

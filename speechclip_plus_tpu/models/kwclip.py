@@ -836,6 +836,7 @@ class KWClip(nn.Module):
                         temperature=1.0 / scale,
                         base_temperature=c.cl_loss.base_temperature,
                         contrast_mode=c.cl_loss.contrast_mode,
+                        valid=valid,
                     )
                 else:
                     l = masked_contrastive_loss(
@@ -857,7 +858,9 @@ class KWClip(nn.Module):
             and loss_feats.get("cif_target_len") is not None
         ):
             q = quantity_l1_loss(
-                loss_feats["cif_quantity_out"], loss_feats["cif_target_len"]
+                loss_feats["cif_quantity_out"],
+                loss_feats["cif_target_len"],
+                valid=valid,
             )
             losses["quantity_loss"] = q
             total = total + c.cif.quantity_loss_weight * q

@@ -46,9 +46,17 @@ import jax.numpy as jnp
 __all__ = ["fused_attention_dropout"]
 
 _NEG_INF = -1e30
-# VMEM budget guard: padded T above this falls back to the XLA path
-# (scores tile is Tp*Tp fp32; 2048 -> 16 MB alone would not fit)
-_MAX_T_PAD = 1536
+# VMEM budget guard: one grid step holds q/k/v/o blocks of (H, Tp, dh)
+# bf16 — double-buffered by the pipeline — plus, per head, a (Tp, Tp)
+# fp32 score and prob tile. Stay under ~14 MB of v5e's ~16 MB VMEM or
+# Mosaic fails at compile time instead of falling back.
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _vmem_estimate(h: int, tp: int, dh: int) -> int:
+    io_blocks = 4 * h * tp * dh * 2  # q/k/v/o, bf16
+    score_tiles = 2 * tp * tp * 4  # scores + probs, fp32, one head live
+    return 2 * io_blocks + score_tiles  # x2: pipeline double-buffering
 
 
 def _round_up(x: int, m: int) -> int:
@@ -177,7 +185,9 @@ def fused_attention_dropout(
     b, h, t, dh = q.shape
     tp = _round_up(t, 128)
     on_tpu = jax.default_backend() == "tpu"
-    if (not on_tpu and not interpret) or tp > _MAX_T_PAD:
+    if (not on_tpu and not interpret) or (
+        _vmem_estimate(h, tp, dh) > _VMEM_BUDGET_BYTES
+    ):
         from .attention import dot_product_attention
 
         bias4 = None

@@ -142,6 +142,7 @@ def supcon_loss(
     temperature: jnp.ndarray,
     base_temperature: float = 0.07,
     contrast_mode: str = "all",
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Supervised contrastive loss (reference ``losses.py:46-123``).
 
@@ -150,6 +151,9 @@ def supcon_loss(
       labels: (B,) class labels (mutually exclusive with ``mask``).
       mask: (B, B) float, 1 where samples share a class.
       temperature: scalar divisor of logits (learnable in the reference).
+      valid: (B,) bool; padded rows are excluded both as anchors and as
+        contrasts (zero rows from static-shape collate / mesh-divisibility
+        padding would otherwise enter as id-0 positives).
     """
     assert features.ndim == 3, "features must be [bsz, n_views, ...]"
     B, n_views = features.shape[:2]
@@ -184,16 +188,39 @@ def supcon_loss(
 
     mask = jnp.tile(mask, (anchor_count, n_views))
     logits_mask = 1.0 - jnp.eye(B * anchor_count, B * n_views, dtype=jnp.float32)
+    if valid is not None:
+        v_contrast = jnp.tile(valid.astype(jnp.float32), n_views)
+        logits_mask = logits_mask * v_contrast[None, :]
     mask = mask * logits_mask
 
     exp_logits = jnp.exp(logits) * logits_mask
-    log_prob = logits - jnp.log(exp_logits.sum(axis=1, keepdims=True))
+    log_prob = logits - jnp.log(
+        jnp.maximum(exp_logits.sum(axis=1, keepdims=True), 1e-12)
+    )
     mean_log_prob_pos = (mask * log_prob).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1e-12)
 
     loss = -(1.0 / base_temperature) * mean_log_prob_pos
-    return loss.reshape(anchor_count, B).mean()
+    per_anchor = loss.reshape(anchor_count, B)
+    if valid is None:
+        return per_anchor.mean()
+    v = valid.astype(jnp.float32)
+    return (per_anchor * v[None, :]).sum() / jnp.maximum(
+        anchor_count * v.sum(), 1.0
+    )
 
 
-def quantity_l1_loss(quantity_out: jnp.ndarray, target_len: jnp.ndarray) -> jnp.ndarray:
-    """CIF quantity loss: mean |sum(alpha) - target_len| (torch nn.L1Loss)."""
-    return jnp.abs(quantity_out - target_len.astype(quantity_out.dtype)).mean()
+def quantity_l1_loss(
+    quantity_out: jnp.ndarray,
+    target_len: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """CIF quantity loss: mean |sum(alpha) - target_len| (torch nn.L1Loss).
+
+    `valid` (B,) restricts the mean to real rows so zero-padded batch rows
+    (static-shape collate / mesh-divisibility padding) don't dilute it.
+    """
+    err = jnp.abs(quantity_out - target_len.astype(quantity_out.dtype))
+    if valid is None:
+        return err.mean()
+    v = valid.astype(err.dtype)
+    return (err * v).sum() / jnp.maximum(v.sum(), 1.0)

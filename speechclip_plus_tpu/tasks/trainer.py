@@ -216,8 +216,14 @@ class Trainer:
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(self.epoch)
         while self.opt_step < self.max_steps:
+            epoch_complete = True
             for batch in train_loader:
                 if self.opt_step >= self.max_steps:
+                    # stopped mid-epoch: don't advance the epoch counter —
+                    # a resume that extends max_steps replays this epoch
+                    # from its start (same shuffle stream) instead of
+                    # silently skipping its remaining batches
+                    epoch_complete = False
                     break
                 micro_step = int(self.state.step)
                 self.state, metrics = self.train_step(
@@ -235,6 +241,8 @@ class Trainer:
                     last_log_step = int(self.state.step)
                     last_log_time = now
                     self.metrics_logger.log(row, self.opt_step)
+            if not epoch_complete:
+                break
             self.epoch += 1
             if val_loader is not None and self.epoch % self.val_every_epoch == 0:
                 val_metrics = self.validate(val_loader)

@@ -110,12 +110,26 @@ def train_step_flops(
             B * frames, audio.d_model, audio.ffn_dim, audio.n_layers, frames
         )
     else:  # mel upstreams: mel frontend matmul is negligible; count stack
-        frames = wav_len // audio.downsample_rate
+        # frame count matches ops/mel.py: (n - win)//hop + 1
+        win = getattr(audio, "win", 400)
+        hop = getattr(audio, "hop", 160)
+        frames = max(0, (wav_len - win) // hop + 1)
         d = getattr(audio, "d_model", 768)
-        out["upstream_stack"] = audio_mult * _transformer_flops(
-            B * frames, d, getattr(audio, "ffn_dim", 4 * d),
-            getattr(audio, "n_layers", 12), frames,
-        )
+        n_layers = getattr(audio, "n_layers", 12)
+        if getattr(audio, "arch", "transformer") == "lstm":
+            # APC/VQ-APC LSTM: 4 gates of (in + H) x H per token per layer
+            # (no attention, no FFN) — layer 0 takes n_mels inputs
+            n_mels = getattr(audio, "n_mels", 80)
+            per_token = 0.0
+            for i in range(n_layers):
+                in_dim = n_mels if i == 0 else d
+                per_token += 2.0 * 4.0 * d * (in_dim + d)
+            out["upstream_stack"] = audio_mult * B * frames * per_token
+        else:
+            out["upstream_stack"] = audio_mult * _transformer_flops(
+                B * frames, d, getattr(audio, "ffn_dim", 4 * d),
+                n_layers, frames,
+            )
 
     clip = cfg.clip
     if not cached_image:

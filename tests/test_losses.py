@@ -142,6 +142,39 @@ def test_quantity_l1():
     np.testing.assert_allclose(float(quantity_l1_loss(q, t)), 0.75, rtol=1e-6)
 
 
+def test_quantity_l1_valid_ignores_padded_rows():
+    q = jnp.array([3.0, 5.5, 99.0, 42.0])  # last two rows are padding junk
+    t = jnp.array([4, 5, 0, 0])
+    valid = jnp.array([True, True, False, False])
+    np.testing.assert_allclose(
+        float(quantity_l1_loss(q, t, valid=valid)), 0.75, rtol=1e-6
+    )
+
+
+def test_supcon_valid_matches_unpadded_batch():
+    """Padded rows with valid=False must not change the SupCon loss: a
+    padded batch scores identically to the same batch without padding
+    (padding enters via static-shape collate / mesh-divisibility rows)."""
+    rng = np.random.default_rng(9)
+    feats = rng.normal(size=(4, 2, 8)).astype(np.float32)
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = np.array([0, 1, 1, 2])
+    base = supcon_loss(
+        jnp.asarray(feats), labels=jnp.asarray(labels),
+        temperature=jnp.float32(0.1), base_temperature=0.1,
+    )
+    # pad with two zero rows labeled 0 (the collate convention)
+    padded = np.concatenate([feats, np.zeros((2, 2, 8), np.float32)])
+    plabels = np.concatenate([labels, [0, 0]])
+    valid = np.array([True] * 4 + [False] * 2)
+    got = supcon_loss(
+        jnp.asarray(padded), labels=jnp.asarray(plabels),
+        temperature=jnp.float32(0.1), base_temperature=0.1,
+        valid=jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(float(got), float(base), rtol=1e-5)
+
+
 def test_gradient_flows_through_temperature():
     import jax
 

@@ -130,6 +130,26 @@ def test_resume_without_fit_state_warns_and_defaults_to_zero(tmp_path, caplog):
     assert any("fit_state" in r.message for r in caplog.records)
 
 
+def test_mid_epoch_stop_does_not_inflate_epoch(tmp_path):
+    """max_steps landing mid-epoch must not advance the epoch counter:
+    a resume that extends max_steps replays the interrupted epoch from its
+    start (same shuffle stream) instead of skipping its remaining batches."""
+    t, batch, _ = _trainer(tmp_path, max_steps=3)
+    loader = _FakeLoader([batch, batch])  # 2 batches/epoch -> stop at 3
+    t.fit(loader, val_loader=[batch])
+    assert int(t.state.step) == 3
+    assert t.epoch == 1  # epoch 0 completed; epoch 1 was interrupted
+    with open(os.path.join(t.save_path, "checkpoints", "fit_state.json")) as f:
+        assert json.load(f)["epoch"] == 1
+    # resume with a larger budget: the interrupted epoch replays
+    t2, _, _ = _trainer(tmp_path, max_steps=4, subdir="run2")
+    t2.resume(os.path.join(t.save_path, "checkpoints"))
+    loader2 = _FakeLoader([batch, batch])
+    t2.fit(loader2, val_loader=[batch])
+    assert loader2.set_epoch_calls == [1]
+    assert int(t2.state.step) == 4
+
+
 def test_validation_loss_weighted_by_valid_rows(tmp_path):
     """A padded final batch (1 valid row) must contribute per-row, not
     per-batch, to the aggregated val_loss."""
