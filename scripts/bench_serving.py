@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Serving latency/throughput: speech -> top-k image retrieval.
+
+Flagship model (HuBERT-base + ViT-B/32 hybrid+, random weights — timing
+only), device-resident index of N images, single jitted query dispatch
+(`serving.SpeechRetriever`). Reports single-utterance latency (the
+interactive case) and batched throughput (the bulk case).
+
+Usage: python scripts/bench_serving.py [--index-size 5000] [--batch 64]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-size", type=int, default=5000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--wav-len", type=int, default=102400)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    from speechclip_plus_tpu.api import SpeechCLIP
+    from speechclip_plus_tpu.models import KWClip
+    from speechclip_plus_tpu.serving import RetrievalIndex, SpeechRetriever
+    from speechclip_plus_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    model = KWClip(cfg)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, args.wav_len).astype(np.float32)
+    init_batch = {
+        "wav": wav,
+        "wav_len": np.full((2,), args.wav_len, np.int32),
+        "image": rng.randn(2, cfg.clip.image_resolution,
+                           cfg.clip.image_resolution, 3).astype(np.float32),
+        "id": np.arange(2, dtype=np.int32),
+    }
+    print(f"[{time.strftime('%H:%M:%S')}] init ...", flush=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, init_batch, training=False
+    )
+    sc = SpeechCLIP(model, variables)
+    # synthetic pre-embedded index (embedding cost is a one-time build)
+    d = cfg.clip.embed_dim
+    index = RetrievalIndex(
+        rng.randn(args.index_size, d).astype(np.float32),
+        np.arange(args.index_size),
+    )
+    retr = SpeechRetriever(sc, index, feat_src="parallel")
+
+    def bench(n_wavs, label):
+        wavs = [rng.randn(args.wav_len).astype(np.float32)
+                for _ in range(n_wavs)]
+        retr.search(wavs, k=args.k)  # compile
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            ids, _ = retr.search(wavs, k=args.k)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p50 = times[len(times) // 2]
+        p99 = times[min(len(times) - 1, int(len(times) * 0.99))]
+        print(f"{label}: p50 {p50 * 1e3:.1f} ms  p99 {p99 * 1e3:.1f} ms  "
+              f"({n_wavs / p50:.1f} queries/s)", flush=True)
+        return p50
+
+    print(f"device={jax.devices()[0].device_kind} index={args.index_size} "
+          f"k={args.k} wav={args.wav_len / 16000:.1f}s", flush=True)
+    bench(1, "single query (end-to-end, incl. host pad + top-k fetch)")
+    p50 = bench(args.batch, f"batch {args.batch}")
+    print(f"throughput: {args.batch / p50:.1f} queries/s/chip")
+
+
+if __name__ == "__main__":
+    main()

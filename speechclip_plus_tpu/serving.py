@@ -1,0 +1,134 @@
+"""Batched inference + retrieval serving.
+
+The reference stops at library-style embedding extraction (`example.py`);
+this module is the production-serving layer on top of it: a device-resident
+image index and a single-dispatch jitted query path (speech encode -> feature
+pick -> normalized score matmul -> top-k), bucketed so repeat queries never
+recompile.
+
+TPU shape discipline: the index is one static (N, D) fp32 matrix (scores ride
+the MXU), waveforms bucket to the `api._pad_wavs` lengths, and `k` is static —
+each (bucket, batch, k) triple compiles once and is cached by jit.
+
+Reference anchors: retrieval scoring = `avssl/model/kwClip.py:448-482`
+(dedup by id, audio @ image^T, argsort); feature choice =
+`retrieval.audio_feat_src`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .api import SpeechCLIP, _pad_wavs
+from .models.kwclip import KWClip
+
+__all__ = ["RetrievalIndex", "SpeechRetriever", "build_image_index"]
+
+
+def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+
+class RetrievalIndex:
+    """Device-resident L2-normalized image-embedding matrix + ids."""
+
+    def __init__(self, feats: np.ndarray, ids: Sequence[int]):
+        assert feats.ndim == 2, feats.shape
+        assert len(ids) == feats.shape[0]
+        self.feats = jax.device_put(
+            np.asarray(
+                np.asarray(feats, np.float32)
+                / np.maximum(
+                    np.linalg.norm(feats, axis=-1, keepdims=True), 1e-8
+                ),
+            )
+        )
+        self.ids = np.asarray(ids)
+
+    def __len__(self) -> int:
+        return int(self.feats.shape[0])
+
+
+def build_image_index(
+    speechclip: SpeechCLIP,
+    images: np.ndarray,
+    ids: Sequence[int],
+    batch_size: int = 256,
+) -> RetrievalIndex:
+    """Embed images through the frozen tower in fixed-size batches.
+
+    `images` is (N, H, W, 3) preprocessed pixels; duplicate ids should be
+    deduped by the caller (the reference keeps one image per id,
+    `kwClip.py:448-458`).
+    """
+    model, variables = speechclip.model, speechclip.variables
+
+    @jax.jit
+    def embed(v, img):
+        return model.apply(v, img, method=KWClip.encode_image_raw)
+
+    n = images.shape[0]
+    feats = []
+    for i in range(0, n, batch_size):
+        chunk = images[i : i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:  # keep the compiled shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+            )
+        out = np.asarray(embed(variables, jnp.asarray(chunk)))
+        feats.append(out[: batch_size - pad] if pad else out)
+    return RetrievalIndex(np.concatenate(feats), ids)
+
+
+class SpeechRetriever:
+    """Speech -> top-k image retrieval with a single jitted dispatch."""
+
+    def __init__(
+        self,
+        speechclip: SpeechCLIP,
+        index: RetrievalIndex,
+        feat_src: Optional[str] = None,
+    ):
+        self.sc = speechclip
+        self.index = index
+        cfg = speechclip.cfg
+        if feat_src is None:
+            feat_src = cfg.retrieval_audio_feat_src
+        if feat_src not in ("parallel", "cascaded"):
+            raise ValueError(f"unknown feat_src {feat_src!r}")
+        self.feat_src = feat_src
+        model = speechclip.model
+
+        @partial(jax.jit, static_argnames=("k",))
+        def query(variables, wav, wav_len, index_feats, *, k):
+            out = model.apply(
+                variables, wav, wav_len, method=KWClip.encode_speech
+            )
+            feat = out[f"{self.feat_src}_audio_feat"]
+            if feat is None:
+                raise ValueError(
+                    f"model produces no {self.feat_src} features"
+                )
+            scores = _l2_normalize(feat) @ index_feats.T  # (B, N) cosines
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            return top_scores, top_idx
+
+        self._query = query
+
+    def search(
+        self, wavs: Sequence[np.ndarray], k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k image ids + cosine scores per waveform (ragged input)."""
+        k = min(int(k), len(self.index))
+        w, l = _pad_wavs(wavs)
+        scores, idx = self._query(
+            self.sc.variables, w, l, self.index.feats, k=k
+        )
+        return self.index.ids[np.asarray(idx)], np.asarray(scores)

@@ -1,0 +1,63 @@
+"""Serving layer: device-resident retrieval index + jitted top-k query."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_plus_tpu.api import SpeechCLIP
+from speechclip_plus_tpu.models import KWClip
+from speechclip_plus_tpu.serving import SpeechRetriever, build_image_index
+
+from test_kwclip_model import make_batch, tiny_cfg
+
+pytestmark = pytest.mark.slow
+
+
+def _speechclip(branch_type="HybridBranch_plus"):
+    cfg = tiny_cfg(branch_type)
+    model = KWClip(cfg)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, training=False
+    )
+    return SpeechCLIP(model, variables), cfg
+
+
+def test_search_matches_numpy_ranking():
+    sc, cfg = _speechclip()
+    rng = np.random.RandomState(1)
+    images = rng.randn(8, 32, 32, 3).astype(np.float32)
+    index = build_image_index(sc, images, ids=np.arange(100, 108),
+                              batch_size=3)  # uneven batching exercised
+    assert len(index) == 8
+
+    retr = SpeechRetriever(sc, index, feat_src="parallel")
+    wavs = [rng.randn(n).astype(np.float32) for n in (900, 700, 650, 900)]
+    ids, scores = retr.search(wavs, k=3)
+    assert ids.shape == (4, 3) and scores.shape == (4, 3)
+    # scores are descending
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+    # oracle: encode through the library API, rank in numpy
+    out = sc.encode_speech(wavs)
+    feat = np.asarray(out["parallel_audio_feat"], np.float32)
+    feat = feat / np.maximum(np.linalg.norm(feat, axis=-1, keepdims=True), 1e-8)
+    ref_scores = feat @ np.asarray(index.feats).T
+    ref_top = np.argsort(-ref_scores, axis=1)[:, :3]
+    np.testing.assert_array_equal(ids, np.arange(100, 108)[ref_top])
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(ref_scores, ref_top, axis=1), rtol=1e-5
+    )
+
+
+def test_search_cascaded_source_and_k_clamp():
+    sc, cfg = _speechclip()
+    rng = np.random.RandomState(2)
+    images = rng.randn(4, 32, 32, 3).astype(np.float32)
+    index = build_image_index(sc, images, ids=[7, 8, 9, 10], batch_size=4)
+    retr = SpeechRetriever(sc, index, feat_src="cascaded")
+    ids, scores = retr.search([rng.randn(800).astype(np.float32)], k=99)
+    assert ids.shape == (1, 4)  # k clamped to index size
+    assert np.all(np.isfinite(scores))
