@@ -289,3 +289,67 @@ def test_api_load_from_orbax_checkpoint(tiny_world, monkeypatch):
     kw = m.extract_keywords(wavs)
     assert kw["vq_results"] is not None
     assert kw["vq_results"]["targets_original"].shape[0] == 2
+
+
+def test_cli_eval_from_released_style_lightning_ckpt(
+    tiny_world, tmp_path, monkeypatch
+):
+    """The released-checkpoint user journey, executed end-to-end: a
+    synthetic FULL-base-architecture Lightning `.ckpt` (real HuBERT-base +
+    ViT-B/32 dims, reference `avssl` state-dict naming, config embedded as
+    an OrderedNamespace — `test_lightning_roundtrip._build_ckpt`) is fed to
+    `run_task.py --eval --ckpt ...` over the synthetic Flickr world and must
+    come out the other side as a finite `val_recall_mean_10` in
+    metrics.jsonl — the exact flow `scripts/eval_released_checkpoints.py`
+    runs per released artifact (`download_ckpts.sh:1-24`)."""
+    import yaml as _yaml
+
+    from test_lightning_roundtrip import _build_ckpt
+
+    world, _ = tiny_world
+    root = world / "flickr"
+    _, _, _, ckpt_path = _build_ckpt("base", tmp_path)
+
+    override = {
+        "data": {
+            "dataset": {"tokenizeText": False},
+            "batch_size": 2,
+            "dev_batch_size": 2,
+        },
+        "log_setting": {"log_detokenize_results": False,
+                        "log_draw_pca_every_n_epoch": 0},
+    }
+    override_path = tmp_path / "eval_override.yaml"
+    override_path.write_text(_yaml.safe_dump(override))
+    save = tmp_path / "eval_out"
+
+    import speechclip_plus_tpu.tasks as tasks
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_task.py", "TrainKWClip_GeneralTransformer",
+         "--ckpt", str(ckpt_path), "--eval",
+         "--config", str(override_path),
+         "--dataset_root", str(root),
+         "--save_path", str(save),
+         "--devices", "1", "--njobs", "1"],
+    )
+    import argparse
+
+    runner = tasks.TrainKWClip_GeneralTransformer()
+    p = argparse.ArgumentParser()
+    p.add_argument("task")
+    runner.add_args(p)
+    runner.parse_args(p)
+    runner.run()
+
+    rows = [json.loads(l)
+            for l in (save / "metrics.jsonl").read_text().splitlines()]
+    recall = next(
+        (r["val_recall_mean_10"] for r in reversed(rows)
+         if "val_recall_mean_10" in r), None,
+    )
+    assert recall is not None
+    import math
+
+    assert math.isfinite(float(recall))
