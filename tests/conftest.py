@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 # keep tests deterministic and quiet
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# no persistent XLA compilation cache under pytest: concurrent test
+# processes writing one cache dir can truncate entries, and a corrupt
+# entry SEGFAULTS jax's deserializer (observed in CI-style full-suite
+# runs) — an uncatchable failure mode for a pure optimization
+os.environ.setdefault("SPEECHCLIP_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 
