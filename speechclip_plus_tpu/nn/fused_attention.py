@@ -53,10 +53,11 @@ _NEG_INF = -1e30
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
-def _vmem_estimate(h: int, tp: int, dh: int) -> int:
+def _vmem_estimate(b: int, h: int, tp: int, dh: int) -> int:
     io_blocks = 4 * h * tp * dh * 2  # q/k/v/o, bf16
     score_tiles = 2 * tp * tp * 4  # scores + probs, fp32, one head live
-    return 2 * io_blocks + score_tiles  # x2: pipeline double-buffering
+    bias_block = b * tp * 4  # full-array (B, Tp) fp32 bias, resident
+    return 2 * io_blocks + score_tiles + bias_block  # x2: double-buffering
 
 
 def _round_up(x: int, m: int) -> int:
@@ -65,8 +66,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
             n_heads: int, keep_thresh: int, inv_keep: float):
-    """Grid step = one batch element: q/k/v/o blocks (1, H, Tp, dh),
-    bias block (1, Tp) additive (-inf at padded/masked keys)."""
+    """Grid step = one batch element: q/k/v/o blocks (1, H, Tp, dh).
+    The bias rides as ONE full-array (B, Tp) VMEM block (a per-grid
+    (1, Tp) block violates Mosaic's second-minor-divisible-by-8 rule)
+    and each grid step reads its own row; additive, -inf at padded keys."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -75,7 +78,7 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         # prng_random_bits calls within the program
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    bias_row = bias_ref[0].astype(jnp.float32)  # (Tp,)
+    bias_row = bias_ref[pl.program_id(0)].astype(jnp.float32)  # (Tp,)
     dh = q_ref.shape[-1]
     scale = jax.lax.rsqrt(jnp.float32(dh))
 
@@ -123,7 +126,10 @@ def _pallas_fwd(q, k, v, bias, seed, keep_thresh, inv_keep, interpret):
                          memory_space=vmem),
             pl.BlockSpec((1, h, tp, dh), lambda i, *_: (i, 0, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, tp), lambda i, *_: (i, 0), memory_space=vmem),
+            # full-array block: (1, tp) blocks trip Mosaic's "second-minor
+            # divisible by 8" check; the whole bias is B*Tp*4 bytes
+            # (~200 KB at base shapes), loaded once and kept resident
+            pl.BlockSpec((b, tp), lambda i, *_: (0, 0), memory_space=vmem),
         ],
         out_specs=pl.BlockSpec((1, h, tp, dh), lambda i, *_: (i, 0, 0, 0),
                                memory_space=vmem),
@@ -186,7 +192,7 @@ def fused_attention_dropout(
     tp = _round_up(t, 128)
     on_tpu = jax.default_backend() == "tpu"
     if (not on_tpu and not interpret) or (
-        _vmem_estimate(h, tp, dh) > _VMEM_BUDGET_BYTES
+        _vmem_estimate(b, h, tp, dh) > _VMEM_BUDGET_BYTES
     ):
         from .attention import dot_product_attention
 
