@@ -51,6 +51,10 @@ def main():
     cfg = load_config(os.path.join(
         repo, "config", "speechclip_plus", "base", "hybrid_plus.yaml"))
     vocab = resolve_reduced_vocab(cfg)
+    if os.environ.get("BENCH_FUSED_ATTN"):
+        cfg.audio_encoder.fused_attention = (
+            os.environ["BENCH_FUSED_ATTN"] == "1"
+        )
     model_cfg = KWClipConfig.from_config(
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
         eot_id=int(vocab.eot_reduced))
