@@ -42,15 +42,20 @@ _MASK_VALUE = -1e30
 #
 #   z = s / t,  p = softmax(z),  u = g @ codebook^T,  rho = sum(p * u, -1)
 #   ds = p * (u - rho) / t
-#   dcodebook = scatter-add of g rows at argmax (the one-hot transpose)
+#   dcodebook = onehot(argmax)^T @ g (the one-hot transpose, as a dense matmul)
 #   dt = sum(p * (u - rho) * (-s / t^2))
 #
 # eliminating every (B*T, V) HBM round trip the estimator forced on XLA.
 
 
 def _st_fwd_value(scores: jnp.ndarray, codebook: jnp.ndarray, temp: jnp.ndarray):
-    k = jnp.argmax(scores, axis=-1)
-    return jnp.take(codebook, k, axis=0).astype(jnp.float32)
+    # reduce over a 2-D view: XLA's reduce/elementwise lowering over the
+    # 3-D (B, T, V) layout is ~10x slower on v5e (57.7 vs 5.9 ms for a
+    # softmax at (128, 75, 8112)); the same holds for argmax
+    flat = scores.reshape(-1, scores.shape[-1])
+    k = jnp.argmax(flat, axis=-1)
+    out = jnp.take(codebook, k, axis=0).astype(jnp.float32)
+    return out.reshape(scores.shape[:-1] + (codebook.shape[-1],))
 
 
 @jax.custom_vjp
@@ -81,23 +86,32 @@ def _st_cm_fwd(scores, codebook, temp):
 
 def _st_cm_bwd(res, g):
     scores, codebook, temp = res
-    s = scores.astype(jnp.float32)
+    V = scores.shape[-1]
+    D = g.shape[-1]
+    # ALL (..., V) math on 2-D views — the 3-D (B, T, V) layout lowers
+    # elementwise+reduce ~10x slower on v5e (measured 57.7 vs 5.9 ms for
+    # this softmax at (128, 75, 8112)); the two reshapes at the edges are
+    # the only relayout copies.
+    s = scores.reshape(-1, V).astype(jnp.float32)
+    g2 = g.reshape(-1, D).astype(jnp.float32)
     t = jnp.asarray(temp, jnp.float32)
-    g32 = g.astype(jnp.float32)
     cb = codebook.astype(jnp.float32)
     p = jax.nn.softmax(s / t, axis=-1)
-    u = jnp.einsum("...d,vd->...v", g32, cb)
+    u = jax.lax.dot_general(
+        g2, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (N, V) = g @ codebook^T
     rho = jnp.sum(p * u, axis=-1, keepdims=True)
     dz = p * (u - rho)  # dL/d(s/t)
-    ds = (dz / t).astype(scores.dtype)
-    # one-hot transpose: scatter gradient rows onto the selected codewords
-    k = jnp.argmax(scores, axis=-1).reshape(-1)
-    dcb = (
-        jnp.zeros(codebook.shape, jnp.float32)
-        .at[k]
-        .add(g32.reshape(-1, g32.shape[-1]), mode="drop")
-        .astype(codebook.dtype)
-    )
+    ds = (dz / t).astype(scores.dtype).reshape(scores.shape)
+    # one-hot transpose as a DENSE fp32 matmul: onehot(k)^T @ g (~3 ms at
+    # (9600, 8112) on v5e; a `.at[k].add` scatter lowers to a serialized
+    # loop on TPU). fp32 one-hot keeps the row sums exact.
+    k = jnp.argmax(s, axis=-1)
+    onehot = jax.nn.one_hot(k, V, dtype=jnp.float32)
+    dcb = jax.lax.dot_general(
+        onehot, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(codebook.dtype)
     dt = jnp.sum(dz * (-s / (t * t))).astype(jnp.float32).reshape(jnp.shape(temp))
     return ds, dcb, dt
 
@@ -156,12 +170,13 @@ def simple_vector_quantizer(
     B, T, V = x.shape
     result: Dict[str, jnp.ndarray] = {"num_vars": jnp.asarray(V)}
 
+    # mask special-token columns on the 2-D view (3-D elementwise ops over
+    # (B, T, V) lower ~10x slower on v5e — see _st_cm_bwd)
+    flat = x.reshape(B * T, V)
     if len(prob_msk) > 0:
         col = jnp.arange(V)
         special = jnp.isin(col, jnp.asarray(list(prob_msk)))
-        x = jnp.where(special[None, None, :], _MASK_VALUE, x)
-
-    flat = x.reshape(B * T, V)
+        flat = jnp.where(special[None, :], _MASK_VALUE, flat)
 
     k = jnp.argmax(flat, axis=-1)
     hard_x = jax.nn.one_hot(k, V, dtype=flat.dtype)
@@ -254,7 +269,9 @@ def simple_vector_quantizer(
 
     if codebook is not None:
         if use_fused and training:
-            result["keywords"] = st_codebook_matmul(x, codebook, temp)
+            result["keywords"] = st_codebook_matmul(
+                flat.reshape(B, T, V), codebook, temp
+            )
         elif use_fused:
             # eval: hard one-hot @ codebook is a gather
             result["keywords"] = jnp.take(codebook, k, axis=0).astype(
