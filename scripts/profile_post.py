@@ -69,7 +69,9 @@ def main():
 
     # --- full cascaded(+parallel) branch fwd+bwd --------------------------
     @jax.jit
-    def branch_fwd_bwd(p, feats, k):
+    def branch_fwd_bwd(eps, p, feats, k):
+        feats = feats + eps
+
         def f(feats):
             tok = p["clip"]["text"]["token_embedding"]["embedding"]
             out, _ = model.apply(
@@ -85,14 +87,16 @@ def main():
             if out.get("parallel_audio_feat") is not None:
                 s += out["parallel_audio_feat"].astype(jnp.float32).sum()
             return s
-        return jax.grad(f)(feats).astype(jnp.float32).sum()
+        return jax.grad(f)(feats).astype(jnp.float32).sum() * 1e-20
 
     results["branch_fwd_bwd(no_text_tower)"] = timed(
         branch_fwd_bwd, params, feats, key, iters=args.iters)
 
     # --- branch sub-pieces: attention / CIF / keyword head ---------------
     @jax.jit
-    def att_fwd_bwd(p, feats, k):
+    def att_fwd_bwd(eps, p, feats, k):
+        feats = feats + eps
+
         def f(feats):
             out = model.apply(
                 {"params": p, "batch_stats": bstats}, feats,
@@ -101,13 +105,15 @@ def main():
                 rngs={"dropout": k},
             )
             return out.astype(jnp.float32).sum()
-        return jax.grad(f)(feats).astype(jnp.float32).sum()
+        return jax.grad(f)(feats).astype(jnp.float32).sum() * 1e-20
 
     results["branch_self_att_fwd_bwd"] = timed(
         att_fwd_bwd, params, feats, key, iters=args.iters)
 
     @jax.jit
-    def cif_fwd_bwd(p, feats, k):
+    def cif_fwd_bwd(eps, p, feats, k):
+        feats = feats + eps
+
         def f(feats):
             from speechclip_plus_tpu.ops.masks import key_padding_mask
             pad = key_padding_mask(feats.shape[1], feat_len)
@@ -119,7 +125,7 @@ def main():
                 rngs={"dropout": k},
             )
             return out["dsample_feats"].astype(jnp.float32).sum()
-        return jax.grad(f)(feats).astype(jnp.float32).sum()
+        return jax.grad(f)(feats).astype(jnp.float32).sum() * 1e-20
 
     results["cif_fwd_bwd"] = timed(cif_fwd_bwd, params, feats, key,
                                    iters=args.iters)
@@ -127,7 +133,9 @@ def main():
     kw_feats = jnp.asarray(rng.randn(B, K, D).astype(np.float32))
 
     @jax.jit
-    def head_fwd_bwd(p, kw_feats, k):
+    def head_fwd_bwd(eps, p, kw_feats, k):
+        kw_feats = kw_feats + eps
+
         def f(kw_feats):
             tok = jax.lax.stop_gradient(
                 p["clip"]["text"]["token_embedding"]["embedding"])
@@ -140,7 +148,7 @@ def main():
                 mutable=["batch_stats"],
             )[0]
             return kws.astype(jnp.float32).sum()
-        return jax.grad(f)(kw_feats).astype(jnp.float32).sum()
+        return jax.grad(f)(kw_feats).astype(jnp.float32).sum() * 1e-20
 
     results["keyword_head_fwd_bwd(B,75,768)"] = timed(
         head_fwd_bwd, params, kw_feats, key, iters=args.iters)
@@ -149,7 +157,9 @@ def main():
     cos = jnp.asarray(rng.randn(B, K, V).astype(np.float32) * 0.1)
 
     @jax.jit
-    def vq_fwd_bwd(cos):
+    def vq_fwd_bwd(eps, cos):
+        cos = cos + eps
+
         def f(cos):
             r = simple_vector_quantizer(
                 cos, temp=jnp.float32(0.1), training=True, use_gumbel=False,
@@ -157,7 +167,7 @@ def main():
             return (r["subword_prob"].astype(jnp.float32).sum()
                     + r["diversity_loss"] + r["prob_perplexity"]
                     + r["ent_per_t"].sum())
-        return jax.grad(f)(cos).sum()
+        return jax.grad(f)(cos).sum() * 1e-20
 
     results["vq_op_fwd_bwd(B,75,V)"] = timed(vq_fwd_bwd, cos,
                                              iters=args.iters)
@@ -176,7 +186,9 @@ def main():
     }
 
     @jax.jit
-    def loss_fwd_bwd(p, lf):
+    def loss_fwd_bwd(eps, p, lf):
+        lf = dict(lf, image_feat=lf["image_feat"] + eps)
+
         def f(img, casc, par):
             lf2 = dict(lf, image_feat=img, cascaded_audio_feat=casc,
                        parallel_audio_feat=par)
@@ -185,7 +197,7 @@ def main():
             return losses["loss"]
         g = jax.grad(f)(lf["image_feat"], lf["cascaded_audio_feat"],
                         lf["parallel_audio_feat"])
-        return g.astype(jnp.float32).sum()
+        return g.astype(jnp.float32).sum() * 1e-20
 
     results["compute_loss_fwd_bwd"] = timed(loss_fwd_bwd, params, lf,
                                             iters=args.iters)
