@@ -275,8 +275,13 @@ class KWClipConfig:
         # optional additive key: `audio_encoder.fused_attention` selects the
         # forward-only Pallas attention kernel with in-kernel dropout for
         # the tower (nn/fused_attention.py). Only legal when the tower is
-        # frozen (the kernel has no backward); auto default is decided by
-        # the hardware A/B (bench.py BENCH_FUSED_ATTN) — see PERF.md.
+        # frozen (the kernel has no backward). Default OFF: the kernel wins
+        # 2.7x on a standalone 12-layer dropout chain but LOSES in the
+        # tower (151.0 vs 138.9 ms train-mode fwd) and in the product step
+        # (228.5 vs 219.4 ms) — in-tower XLA fuses the QKV layouts and
+        # overlaps mask RNG, while the Pallas call forces materialized
+        # (B,H,T,dh) transposes and pads T 320->384. Measured 3x on
+        # hardware; see PERF.md §3.
         fused_attn = getattr(cfg.audio_encoder, "fused_attention", None)
         if fused_attn and audio_is_trainable:
             raise ValueError(
