@@ -97,6 +97,10 @@ def _product_path_setup():
         cfg.audio_encoder.fused_attention = (
             os.environ["BENCH_FUSED_ATTN"] == "1"
         )
+    if os.environ.get("BENCH_FUSED_QKV"):
+        # A/B the trace-time QKV kernel concat (bitwise-identical; default
+        # OFF — measured 221.3 vs 218.5 ms on v5e, see HubertConfig)
+        cfg.audio_encoder.fused_qkv = os.environ["BENCH_FUSED_QKV"] == "1"
     if os.environ.get("BENCH_FUSED_ST"):
         # A/B the fused straight-through VQ->codebook path (default ON)
         node = cfg.model_settings.cascaded_branch.vq.args
@@ -233,9 +237,21 @@ def bench_tpu() -> dict:
         except Exception as e:
             print(f"cached-image bench failed: {e!r}")
 
+    # peak HBM (bytes) — drives the frontend-chunking policy and documents
+    # the large-family fit; not all backends expose memory_stats.
+    peak_hbm = float("nan")
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak_hbm = float(
+            stats.get("peak_bytes_in_use", stats.get("bytes_in_use", float("nan")))
+        )
+    except Exception:
+        pass
+
     return {
         "pairs_per_sec": pairs_per_sec,
         "step_ms": step_s * 1e3,
+        "peak_hbm_gib": peak_hbm / 2**30 if peak_hbm == peak_hbm else None,
         "xla_flops_per_step": flops,
         "analytic_flops_per_step": analytic,
         "flops_breakdown": {k: v for k, v in fl.items() if k != "total"},

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--wav-len", type=int, default=102400)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--chunks", type=int, default=0,
+                    help="conv-frontend chunks (0 = YAML/auto default)")
     args = ap.parse_args()
 
     os.environ["BENCH_BATCH"] = str(args.batch)
@@ -58,6 +60,13 @@ def main():
     model_cfg = KWClipConfig.from_config(
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),
         eot_id=int(vocab.eot_reduced))
+    if args.chunks > 0:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            audio=dataclasses.replace(model_cfg.audio,
+                                      frontend_chunks=args.chunks))
     model = KWClip(model_cfg)
 
     rng = np.random.RandomState(0)

@@ -86,6 +86,17 @@ class HubertConfig:
     # attention is near-optimal at the reference's <=320 frames, so this is
     # off by default and intended for long-audio regimes (nn/flash.py)
     use_flash_attention: bool = False
+    # compute q/k/v with ONE (D, 3D) matmul by concatenating the three
+    # projection kernels at trace time. Bitwise-identical math (the concat
+    # is along the output axis, so per-element contraction order is
+    # unchanged) and the same q_proj/k_proj/v_proj param tree (checkpoint
+    # import and tensor-parallel sharding untouched). Measured on v5e
+    # (B=128 product step A/B): 221.3 ms fused vs 218.5 ms separate —
+    # XLA's scheduler already keeps the (B*T, D) activation resident
+    # across the three sibling dots, and the trace-time kernel concat
+    # adds a (D, 3D) materialization per layer instead. Default OFF;
+    # the knob stays for A/B on other topologies.
+    fused_qkv: bool = False
     # Forward-only fused attention with IN-KERNEL dropout
     # (nn/fused_attention.py): eliminates the (B, H, T, T) dropout-mask
     # RNG + HBM traffic and the score tensor round trips. Valid only for
@@ -307,6 +318,26 @@ class _ConvParams(nn.Module):
             if self.use_bias else None
         )
         return kernel, bias
+
+
+class _DenseParams(nn.Module):
+    """Raw `kernel`/`bias` pair with nn.Dense's tree and initializers —
+    lets the layer combine sibling projections into one matmul while the
+    param tree (and so checkpoint import + TP sharding rules) stays
+    exactly nn.Dense-shaped."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_features, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
 
 
 class _AffineParams(nn.Module):
@@ -626,9 +657,18 @@ class HubertEncoderLayer(nn.Module):
 
         def attn(h):
             B, T, D = h.shape
-            q = nn.Dense(D, dtype=c.dtype, name="q_proj")(h)
-            kk = nn.Dense(D, dtype=c.dtype, name="k_proj")(h)
-            v = nn.Dense(D, dtype=c.dtype, name="v_proj")(h)
+            if getattr(c, "fused_qkv", False):
+                wq, bq = _DenseParams(D, D, name="q_proj")()
+                wk, bk = _DenseParams(D, D, name="k_proj")()
+                wv, bv = _DenseParams(D, D, name="v_proj")()
+                w3 = jnp.concatenate([wq, wk, wv], axis=1).astype(c.dtype)
+                b3 = jnp.concatenate([bq, bk, bv]).astype(c.dtype)
+                qkv = h.astype(c.dtype) @ w3 + b3
+                q, kk, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = nn.Dense(D, dtype=c.dtype, name="q_proj")(h)
+                kk = nn.Dense(D, dtype=c.dtype, name="k_proj")(h)
+                v = nn.Dense(D, dtype=c.dtype, name="v_proj")(h)
             split = lambda t: t.reshape(B, T, c.n_heads, dh).transpose(0, 2, 1, 3)
             if c.fused_attention_dropout:
                 from ..nn.fused_attention import fused_attention_dropout

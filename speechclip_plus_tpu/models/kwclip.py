@@ -295,6 +295,17 @@ class KWClipConfig:
                 audio_cfg, fused_attention_dropout=bool(fused_attn)
             )
 
+        # optional additive key: `audio_encoder.fused_qkv` computes the
+        # tower's q/k/v with one (D, 3D) matmul via a trace-time kernel
+        # concat — bitwise-identical outputs and the same param tree
+        # (hubert.py). Default OFF (measured slower in-model on v5e);
+        # the knob exists for A/B measurement.
+        fused_qkv = getattr(cfg.audio_encoder, "fused_qkv", None)
+        if fused_qkv is not None and hasattr(audio_cfg, "fused_qkv"):
+            audio_cfg = dataclasses.replace(
+                audio_cfg, fused_qkv=bool(fused_qkv)
+            )
+
         # optional additive key (not in the reference schema):
         # `audio_encoder.remat: true` rematerializes each scanned tower
         # layer in the backward pass. Only meaningful when tower layers
