@@ -120,7 +120,10 @@ def _product_path_setup():
     # actual bench batch unless explicitly set
     chunks = int(os.environ.get("BENCH_FRONTEND_CHUNKS", "0"))
     if chunks <= 0:
-        chunks = 2 if BATCH >= 192 else 1
+        # mirror KWClipConfig.from_config's auto policy: chunk in units of
+        # <=256 (unchunked B=256 fits post fused-ST VQ and measures faster:
+        # 564.7 vs 558.1 pairs/s on v5e)
+        chunks = max(1, -(-BATCH // 256))
     import dataclasses
 
     model_cfg = dataclasses.replace(

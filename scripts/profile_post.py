@@ -153,24 +153,32 @@ def main():
     results["keyword_head_fwd_bwd(B,75,768)"] = timed(
         head_fwd_bwd, params, kw_feats, key, iters=args.iters)
 
-    # --- VQ op alone on (B, K, V) logits ---------------------------------
+    # --- VQ op alone on (B, K, V) logits ----------------------------------
+    # IN-MODEL form: codebook passed -> the fused straight-through path
+    # (gather fwd / analytic bwd, ops/vq.st_codebook_matmul) and only the
+    # stats that survive in the train step's log_metrics (kwclip.py:799-801)
+    # kept alive. Without the codebook the op falls back to the materialized
+    # ST estimator + a softmax-jacobian backward over (B*T, V) — a path the
+    # model never takes; probing it read 35.9 ms where the real path is ~4 ms
+    # (measured on v5e, B=128).
     cos = jnp.asarray(rng.randn(B, K, V).astype(np.float32) * 0.1)
+    cbook = jnp.asarray(rng.randn(V, 512).astype(np.float32) * 0.02)
 
     @jax.jit
-    def vq_fwd_bwd(eps, cos):
+    def vq_fwd_bwd(eps, cos, cbook):
         cos = cos + eps
 
         def f(cos):
             r = simple_vector_quantizer(
                 cos, temp=jnp.float32(0.1), training=True, use_gumbel=False,
-                hard=True)
-            return (r["subword_prob"].astype(jnp.float32).sum()
-                    + r["diversity_loss"] + r["prob_perplexity"]
-                    + r["ent_per_t"].sum())
+                hard=True, codebook=cbook)
+            return (r["keywords"].astype(jnp.float32).sum()
+                    + r["code_perplexity"] + r["prob_perplexity"]
+                    + r["ent_per_t"].mean())
         return jax.grad(f)(cos).sum() * 1e-20
 
-    results["vq_op_fwd_bwd(B,75,V)"] = timed(vq_fwd_bwd, cos,
-                                             iters=args.iters)
+    results["vq_op_fwd_bwd(B,75,V,in-model)"] = timed(
+        vq_fwd_bwd, cos, cbook, iters=args.iters)
 
     # --- compute_loss fwd+bwd --------------------------------------------
     lf = {

@@ -212,17 +212,19 @@ class KWClipConfig:
 
         # optional additive key (not in the reference schema): chunked conv
         # frontend for large-batch memory headroom (hubert.py docstring).
-        # Unset: auto-chunk when the training batch is large — the layer-0
-        # activation is (B, T/5, 512) and at the reference base recipe
-        # (batch 256, 6.4 s crops) the unchunked frontend alone exhausts
-        # v5e HBM (measured: 17.35G > 15.75G). 2 chunks at B=256 runs at
-        # 499 pairs/s vs OOM unchunked.
+        # Unset: auto-chunk in units of <=256 samples. History: at the
+        # reference base recipe (batch 256, 6.4 s crops) the unchunked
+        # step OOMed v5e HBM (17.35G > 15.75G) until the fused
+        # straight-through VQ (ops/vq.st_codebook_matmul) removed the
+        # (B*75, V) fp32 materializations; remeasured after: unchunked
+        # B=256 fits AND is faster (564.7 vs 558.1 pairs/s), so the
+        # auto threshold moved from 192 to 256.
         chunks = getattr(cfg.audio_encoder, "frontend_chunks", None)
         if chunks is None:
             batch_size = int(
                 getattr(getattr(cfg, "data", None), "batch_size", 0) or 0
             )
-            chunks = 2 if batch_size >= 192 else 1
+            chunks = max(1, -(-batch_size // 256))
         chunks = int(chunks or 1)
         if chunks > 1:
             audio_cfg = dataclasses.replace(audio_cfg, frontend_chunks=chunks)

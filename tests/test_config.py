@@ -118,17 +118,22 @@ def test_frozen_dropout_knob():
 
 
 def test_frontend_chunks_auto_from_batch_size():
-    """Unset frontend_chunks auto-chunks at large batches (the reference
-    base recipe's batch 256 OOMs HBM unchunked); explicit values win."""
+    """Unset frontend_chunks auto-chunks in units of <=256 samples
+    (unchunked B=256 fits v5e HBM since the fused-ST VQ landed and
+    measures faster — kwclip.py from_config); explicit values win."""
     import yaml
 
     from speechclip_plus_tpu.config import ConfigNode
     from speechclip_plus_tpu.models import KWClipConfig
 
     base = yaml.safe_load(open("config/speechclip_plus/base/hybrid_plus.yaml"))
-    assert int(base["data"]["batch_size"]) >= 192  # reference recipe
+    assert int(base["data"]["batch_size"]) == 256  # reference recipe
     mc = KWClipConfig.from_config(ConfigNode(base))
-    assert mc.audio.frontend_chunks == 2
+    assert mc.audio.frontend_chunks == 1
+
+    base["data"]["batch_size"] = 512
+    assert KWClipConfig.from_config(
+        ConfigNode(base)).audio.frontend_chunks == 2
 
     base["data"]["batch_size"] = 64
     assert KWClipConfig.from_config(
