@@ -174,6 +174,22 @@ class KWClipConfig:
                 clip_cfg, vocab_size=vocab_size, sot_id=sot_id, eot_id=eot_id
             )
 
+        # optional additive key (not in the reference schema): `clip.remat`
+        # rematerializes the CLIP tower scan bodies in the backward pass.
+        # Auto policy: ON for the large text tower (text_width >= 768). The
+        # cascaded branch differentiates through the text tower to its
+        # keyword INPUTS, so the 12-layer scan saves per-layer residuals —
+        # fp32 attention probs (720M padded) + 3x bf16 (12,B,77,3072) FFN
+        # buffers + six fp32 (12,B,77,768) tensors at B=128 for ViT-L/14's
+        # 768-wide text tower — which is exactly what OOMed v5e HBM
+        # (measured 18.03G > 15.75G). Remat trades them for one extra text
+        # forward (~1.7 TF at B=128). The frozen ViT and audio towers keep
+        # no residuals (no input grads), so this changes nothing for them.
+        clip_remat = getattr(cfg.clip, "remat", None)
+        if clip_remat is None:
+            clip_remat = clip_cfg.text_width >= 768
+        clip_cfg = dataclasses.replace(clip_cfg, remat=bool(clip_remat))
+
         audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")
         if getattr(cfg.audio_encoder, "tiny", False):
             audio_cfg = HubertConfig.tiny(

@@ -208,3 +208,60 @@ def test_encode_text_pools_true_eot_for_reduced_vocab(pair):
             attention_mask=torch.ones(1, 16, dtype=torch.long),
         ).numpy()
     np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-4, atol=2e-5)
+
+
+def test_remat_grad_parity():
+    """`ClipConfig.remat` rematerializes the text-tower scan in the backward
+    (the path the cascaded branch differentiates to its keyword inputs) —
+    values and input grads must be identical to the non-remat scan. Policy
+    rationale: the saved residuals of the 12-layer large text tower OOMed
+    v5e HBM at B=128 (18.03G > 15.75G, see kwclip.from_config)."""
+    import dataclasses
+
+    import jax
+
+    cc = ClipConfig.tiny()
+    v = ClipModel(dataclasses.replace(cc, remat=False)).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cc.image_resolution, cc.image_resolution, 3)),
+        jnp.zeros((1, cc.context_length), jnp.int32),
+    )
+    kw = jnp.asarray(
+        np.random.RandomState(0).randn(2, 8, cc.text_width).astype(np.float32)
+    )
+    outs, grads = {}, {}
+    for remat in (False, True):
+        m = ClipModel(dataclasses.replace(cc, remat=remat))
+
+        def f(kw, m=m):
+            return m.apply(v, kw, 8, method=ClipModel.encode_keywords)
+
+        outs[remat] = f(kw)
+        grads[remat] = jax.grad(
+            lambda kw, f=f: f(kw).astype(jnp.float32).sum()
+        )(kw)
+    np.testing.assert_array_equal(np.asarray(outs[True]), np.asarray(outs[False]))
+    np.testing.assert_allclose(
+        np.asarray(grads[True]), np.asarray(grads[False]), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_clip_remat_config_policy():
+    """Auto remat: ON for the large text tower (text_width >= 768), OFF for
+    base; explicit `clip.remat` YAML key wins."""
+    import os
+
+    from speechclip_plus_tpu.config import load_config
+    from speechclip_plus_tpu.models import KWClipConfig
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    large = load_config(
+        os.path.join(repo, "config", "speechclip_plus", "large", "flickr",
+                     "hybrid_plus.yaml"))
+    assert KWClipConfig.from_config(large).clip.remat is True
+    base = load_config(
+        os.path.join(repo, "config", "speechclip_plus", "base",
+                     "hybrid_plus.yaml"))
+    assert KWClipConfig.from_config(base).clip.remat is False
+    base.clip.remat = True
+    assert KWClipConfig.from_config(base).clip.remat is True
