@@ -105,6 +105,14 @@ def _product_path_setup():
         # A/B the fused straight-through VQ->codebook path (default ON)
         node = cfg.model_settings.cascaded_branch.vq.args
         node.fused_st = os.environ["BENCH_FUSED_ST"] == "1"
+    if os.environ.get("BENCH_MASK_BITS"):
+        # A/B the dropout-mask bit width (ops/random.py; default 8, dithered)
+        cfg.trainer.dropout_mask_bits = int(os.environ["BENCH_MASK_BITS"])
+    if os.environ.get("BENCH_CLIP_REMAT"):
+        # A/B text-tower remat (auto-on for text_width >= 768; "0" forces off
+        # — viable on the large config once the grad-accumulation buffer
+        # stopped holding frozen-tower zeros, optim/optimizer.py)
+        cfg.clip.remat = os.environ["BENCH_CLIP_REMAT"] == "1"
     vocab = resolve_reduced_vocab(cfg)
     model_cfg = KWClipConfig.from_config(
         cfg, vocab_size=len(vocab), sot_id=int(vocab.sot_reduced),

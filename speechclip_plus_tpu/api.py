@@ -113,7 +113,17 @@ def load_from_checkpoint(
 
         cfg_node = ConfigNode(CheckpointManager.load_config(path))
         model, variables, model_cfg, vocab = build_model_from_config(cfg_node)
-        tx = build_optimizer(variables["params"], model_cfg)
+        # the optimizer-state TREE must match what trained this checkpoint
+        # (grad accumulation wraps MultiSteps state inside the 'train' slot)
+        # or orbax refuses the restore — build it from the embedded config
+        try:
+            from .optim.optimizer import build_optimizer_from_config
+
+            tx = build_optimizer_from_config(
+                variables["params"], model_cfg, cfg_node
+            )
+        except AttributeError:  # minimal config without optim/trainer nodes
+            tx = build_optimizer(variables["params"], model_cfg)
         state = create_train_state(model, variables, tx)
         mgr = CheckpointManager(path)
         state = mgr.restore(state, monitor=monitor)

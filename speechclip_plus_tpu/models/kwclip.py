@@ -218,6 +218,18 @@ class KWClipConfig:
             audio_cfg = dataclasses.replace(audio_cfg, dtype=jnp.bfloat16)
             clip_cfg = dataclasses.replace(clip_cfg, dtype=jnp.bfloat16)
 
+        # optional additive key: `trainer.dropout_mask_bits` (8 or 16) sets
+        # the random-bit width for every dropout mask (ops/random.py). The
+        # 8-bit default draws half the RBG bytes of round 2's 16-bit masks
+        # and is *more* exact in distribution (dithered threshold: marginal
+        # keep prob exact instead of quantized to 1/65536).
+        mask_bits = getattr(getattr(cfg, "trainer", None),
+                            "dropout_mask_bits", None)
+        if mask_bits is not None:
+            from ..ops.random import set_mask_bits
+
+            set_mask_bits(int(mask_bits))
+
         # LayerDrop: float rate, or "original" = keep the pretrained model's
         # rate (0.05 for fairseq hubert base/large; reference passes the raw
         # value into `encoder.encoder.layerdrop`, speech_encoder_plus.py:407)

@@ -1,4 +1,5 @@
 from .attention import MultiheadAttention, dot_product_attention
+from .dropout import FastDropout
 from .mlp import MLPLayers
 from .transformer import (
     MultiheadAttentionAndNorm,
@@ -9,6 +10,7 @@ from .transformer import (
 __all__ = [
     "MultiheadAttention",
     "dot_product_attention",
+    "FastDropout",
     "MLPLayers",
     "TransformerEncoder",
     "TransformerEncoderLayer",

@@ -1,7 +1,8 @@
-"""Dropout on 16-bit keep masks (`ops/random.keep_mask`).
+"""Dropout on narrow-bit keep masks (`ops/random.keep_mask`).
 
 Measured motivation in ops/random.py: mask generation was ~13% of the
-hybrid+ train step with 32-bit bernoulli draws.
+hybrid+ train step with 32-bit bernoulli draws; masks default to 8 random
+bits per element with a dithered threshold (exact marginal keep prob).
 """
 from __future__ import annotations
 

@@ -9,10 +9,17 @@ stepped per optimizer step (`avssl/optim/scheduler.py`), grad-norm clip 4 and
 grad accumulation from the trainer config (`config/.../spchclip_h+.yaml`).
 
 JAX realization: an optax chain — clip_by_global_norm -> add_decayed_weights
-(torch Adam's coupled L2) -> scale_by_adam -> lr schedule — wrapped in
-multi_transform so frozen subtrees get `set_to_zero` (their grads are already
-zero via stop_gradient; zeroing updates keeps them bit-identical), and
-optionally optax.MultiSteps for grad accumulation.
+(torch Adam's coupled L2) -> scale_by_adam -> lr schedule — optionally
+wrapped in optax.MultiSteps for grad accumulation, all INSIDE a
+multi_transform whose frozen subtrees get `set_to_zero` (their grads are
+already zero via stop_gradient; zeroing updates keeps them bit-identical).
+MultiSteps must sit inside the multi_transform, not around it: outside, its
+`acc_grads` buffer is zeros_like(FULL param tree) — ~3 GB of dead HBM for
+the frozen HuBERT-Large + ViT-L/14 towers — and its running-mean update
+`acc + (g - acc)/(n+1)` is a real multiply XLA cannot fold even when g == 0,
+i.e. a ~6 GB/micro-step HBM round trip over buffers that stay zero forever.
+Inside, optax.masked materializes accumulator state only for trainable
+leaves (frozen leaves are MaskedNode sentinels with no storage).
 """
 from __future__ import annotations
 
@@ -25,7 +32,10 @@ import optax
 
 from ..ops.schedulers import get_schedule
 
-__all__ = ["trainable_mask", "build_optimizer", "audio_subset_mask"]
+__all__ = [
+    "trainable_mask", "build_optimizer", "audio_subset_mask",
+    "find_multisteps_state",
+]
 
 FROZEN_PREFIXES_DEFAULT = ("audio_encoder", "clip")
 
@@ -149,6 +159,10 @@ def build_optimizer(
         raise NotImplementedError(optim_name)
     parts.append(optax.scale_by_learning_rate(schedule))
     inner = optax.chain(*parts)
+    if accumulate_grad_batches and accumulate_grad_batches > 1:
+        # inside the multi_transform (see module docstring): accumulator
+        # state exists only for trainable leaves
+        inner = optax.MultiSteps(inner, every_k_schedule=accumulate_grad_batches)
 
     labels = trainable_mask(params, cfg)
     tx = optax.multi_transform(
@@ -157,9 +171,23 @@ def build_optimizer(
     subset = audio_subset_mask(params, cfg)
     if subset is not None:
         tx = _apply_subset_mask(tx, subset)
-    if accumulate_grad_batches and accumulate_grad_batches > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx
+
+
+def find_multisteps_state(opt_state) -> Optional["optax.MultiStepsState"]:
+    """Locate the MultiStepsState nested inside the optimizer state tree
+    (MultiSteps lives inside multi_transform's 'train' slot). None when the
+    optimizer was built without grad accumulation."""
+    found = []
+
+    def is_ms(x):
+        if isinstance(x, optax.MultiStepsState):
+            found.append(x)
+            return True
+        return False
+
+    jax.tree_util.tree_flatten(opt_state, is_leaf=is_ms)
+    return found[0] if found else None
 
 
 def build_optimizer_from_config(params: Dict, model_cfg, cfg_node):

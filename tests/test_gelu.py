@@ -69,19 +69,50 @@ def test_fast_gelu_fp32_is_exact():
 
 
 def test_keep_mask_distribution_and_quantization():
-    """ops/random.keep_mask ~ Bernoulli(round(p*65536)/65536): mean within
-    sampling noise of p, exact edge behavior, dtype-independent shape."""
+    """ops/random.keep_mask ~ Bernoulli(p) at both bit widths: mean within
+    sampling noise of p, exact edge behavior, determinism for a fixed key."""
+    import jax
+
+    from speechclip_plus_tpu.ops.random import get_mask_bits, keep_mask
+
+    assert get_mask_bits() == 8  # module default
+    rng = jax.random.key(0)
+    for bits in (8, 16):
+        m = keep_mask(rng, 0.9, (1 << 20,), bits=bits)
+        frac = float(np.asarray(m, np.float32).mean())
+        assert abs(frac - 0.9) < 2e-3, (bits, frac)  # 4+ sigma at n=1M
+        # deterministic for a fixed key
+        a = np.asarray(keep_mask(rng, 0.5, (1024,), bits=bits))
+        b = np.asarray(keep_mask(rng, 0.5, (1024,), bits=bits))
+        assert (a == b).all()
+    assert np.asarray(keep_mask(rng, 1.0, (16,))).all()
+    assert not np.asarray(keep_mask(rng, 0.0, (16,))).any()
+    # keep_prob above 254/256 falls back to the 16-bit path (a dithered
+    # 8-bit threshold would overflow uint8)
+    m = keep_mask(rng, 0.999, (1 << 18,))
+    assert abs(float(np.asarray(m, np.float32).mean()) - 0.999) < 1e-3
+
+
+def test_keep_mask_8bit_dither_is_exact_in_expectation():
+    """The dithered 8-bit threshold makes the MARGINAL keep probability
+    exactly p (not quantized to 1/256): averaging the realized keep
+    fraction over many independent keys must converge to p, not to
+    floor(p*256)/256 or ceil(p*256)/256."""
     import jax
 
     from speechclip_plus_tpu.ops.random import keep_mask
 
-    rng = jax.random.key(0)
-    m = keep_mask(rng, 0.9, (1 << 20,))
-    frac = float(np.asarray(m, np.float32).mean())
-    assert abs(frac - 0.9) < 2e-3, frac  # 4+ sigma at n=1M
-    assert np.asarray(keep_mask(rng, 1.0, (16,))).all()
-    assert not np.asarray(keep_mask(rng, 0.0, (16,))).any()
-    # deterministic for a fixed key
-    a = np.asarray(keep_mask(rng, 0.5, (1024,)))
-    b = np.asarray(keep_mask(rng, 0.5, (1024,)))
-    assert (a == b).all()
+    p = 0.9  # p*256 = 230.4 -> fixed 8-bit thresholds give 0.8984 / 0.9023
+    n_keys, n = 64, 1 << 16
+    fracs = []
+    for i in range(n_keys):
+        m = keep_mask(jax.random.key(i), p, (n,), bits=8)
+        fracs.append(float(np.asarray(m, np.float32).mean()))
+    mean = float(np.mean(fracs))
+    # sampling sigma of the grand mean ~ sqrt(p(1-p)/(n_keys*n)) = 1.5e-4;
+    # the nearest fixed-threshold values are 1.6e-3 away -> 10+ sigma apart
+    assert abs(mean - p) < 6e-4, mean
+    # both thresholds must actually occur across keys (dither is live)
+    lo_seen = any(f < 0.9 - 8e-4 for f in fracs)
+    hi_seen = any(f > 0.9 + 8e-4 for f in fracs)
+    assert lo_seen and hi_seen, (min(fracs), max(fracs))

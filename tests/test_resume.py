@@ -170,3 +170,43 @@ def test_validation_loss_weighted_by_valid_rows(tmp_path):
     assert abs(unweighted - expected) > 1e-7 or (
         m_full["val_loss"] == pytest.approx(m_pad["val_loss"])
     )
+
+
+def test_ckpt_restore_structure_with_grad_accumulation(tmp_path):
+    """api.load_from_checkpoint-style restore of a checkpoint trained with
+    accumulate_grad_batches > 1: the rebuilt optimizer tree must match the
+    on-disk one (MultiSteps state lives INSIDE multi_transform's 'train'
+    slot) or orbax raises a structure mismatch. Regression: the api used to
+    rebuild with default kwargs (accum=1) and could not restore such runs."""
+    from speechclip_plus_tpu.checkpoint import CheckpointManager
+    from speechclip_plus_tpu.optim import build_optimizer
+    from speechclip_plus_tpu.parallel import create_train_state
+
+    cfg = tiny_cfg("HybridBranch_plus")
+    model = KWClip(cfg)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        training=False,
+    )
+    tx = build_optimizer(variables["params"], cfg, accumulate_grad_batches=2)
+    state = create_train_state(model, variables, tx)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(0, state)
+    mgr.wait()
+
+    # restore into the SAME structure (what build_optimizer_from_config
+    # reproduces from the embedded config) — must succeed
+    tx2 = build_optimizer(variables["params"], cfg, accumulate_grad_batches=2)
+    target = create_train_state(model, variables, tx2)
+    restored = CheckpointManager(str(tmp_path / "ckpts")).restore(target)
+    assert int(restored.step) == 0
+
+    # restoring into the accum=1 structure is a structural mismatch — the
+    # exact failure api.load_from_checkpoint hit before reading the config
+    tx1 = build_optimizer(variables["params"], cfg, accumulate_grad_batches=1)
+    bad = create_train_state(model, variables, tx1)
+    with pytest.raises(ValueError):
+        CheckpointManager(str(tmp_path / "ckpts")).restore(bad)

@@ -71,15 +71,52 @@ def test_vq_temperature_follows_optimizer_steps():
 
 
 def test_multisteps_inner_count_is_optimizer_steps():
+    from speechclip_plus_tpu.optim.optimizer import find_multisteps_state
+
     state, step, batch = _setup(accum=2)
     key = jax.random.PRNGKey(1)
     for _ in range(4):
         state, _ = step(state, batch, key)
     assert int(state.step) == 4  # micro-steps
-    opt_state = state.opt_state
-    assert isinstance(opt_state, optax.MultiStepsState)
-    assert int(opt_state.gradient_step) == 2  # optimizer steps
-    assert int(opt_state.mini_step) == 0
+    ms = find_multisteps_state(state.opt_state)
+    assert isinstance(ms, optax.MultiStepsState)
+    assert int(ms.gradient_step) == 2  # optimizer steps
+    assert int(ms.mini_step) == 0
+
+
+def test_multisteps_accumulator_excludes_frozen_towers():
+    """MultiSteps sits INSIDE the multi_transform: its acc_grads buffer
+    must hold storage for trainable leaves only — zeros_like(full tree)
+    would be ~3 GB of dead HBM (plus an unfoldable ~6 GB/micro-step
+    running-mean pass) for the frozen HuBERT-Large + ViT-L/14 towers."""
+    from speechclip_plus_tpu.optim.optimizer import find_multisteps_state
+    from speechclip_plus_tpu.optim import trainable_mask
+
+    state, step, batch = _setup(accum=2)
+    ms = find_multisteps_state(state.opt_state)
+
+    def nbytes(tree):
+        return sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(tree)
+            if hasattr(x, "size")
+        )
+
+    labels = trainable_mask(state.params, _scheduled_model())
+    train_bytes = 0
+    frozen_bytes = 0
+    for lbl, p in zip(
+        jax.tree_util.tree_leaves(labels), jax.tree_util.tree_leaves(state.params)
+    ):
+        if lbl == "train":
+            train_bytes += p.size * p.dtype.itemsize
+        else:
+            frozen_bytes += p.size * p.dtype.itemsize
+    assert frozen_bytes > 0  # the tiny config does freeze its towers
+    acc_bytes = nbytes(ms.acc_grads)
+    # accumulator == trainable bytes, not full-tree bytes
+    assert acc_bytes <= train_bytes, (acc_bytes, train_bytes)
+    assert acc_bytes < train_bytes + frozen_bytes
 
 
 def test_trainer_max_steps_counts_optimizer_steps(tmp_path):
