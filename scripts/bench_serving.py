@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--wav-len", type=int, default=102400)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--wire", choices=("f32", "int16"), default="f32",
+                    help="waveform wire format: float32 decode or native "
+                         "int16 PCM (half the host->device bytes; scaled "
+                         "1/32768 on device)")
     args = ap.parse_args()
 
     import jax
@@ -65,8 +69,12 @@ def main():
     retr = SpeechRetriever(sc, index, feat_src="parallel")
 
     def bench(n_wavs, label):
-        wavs = [rng.randn(args.wav_len).astype(np.float32)
-                for _ in range(n_wavs)]
+        if args.wire == "int16":
+            wavs = [(rng.randn(args.wav_len) * 4000).astype(np.int16)
+                    for _ in range(n_wavs)]
+        else:
+            wavs = [rng.randn(args.wav_len).astype(np.float32)
+                    for _ in range(n_wavs)]
         retr.search(wavs, k=args.k)  # compile
         times = []
         for _ in range(args.iters):
@@ -81,7 +89,8 @@ def main():
         return p50
 
     print(f"device={jax.devices()[0].device_kind} index={args.index_size} "
-          f"k={args.k} wav={args.wav_len / 16000:.1f}s", flush=True)
+          f"k={args.k} wav={args.wav_len / 16000:.1f}s wire={args.wire}",
+          flush=True)
     bench(1, "single query (end-to-end, incl. host pad + top-k fetch)")
     p50 = bench(args.batch, f"batch {args.batch}")
     print(f"throughput: {args.batch / p50:.1f} queries/s/chip")

@@ -29,17 +29,40 @@ __all__ = ["SpeechCLIP", "load_from_checkpoint"]
 
 _BUCKETS = (16000, 32000, 48000, 64000, 80000, 102400, 160000, 240000)
 
+# int16 PCM -> float in [-1, 1): the scale soundfile/librosa apply when
+# decoding 16-bit audio to float32. Applied ON DEVICE so int16 waveforms
+# cross the host->device link at half the bytes of float32 (the link is
+# the measured serving bottleneck through the axon tunnel, PERF.md §5).
+_PCM16_SCALE = 1.0 / 32768.0
+
+
+def _wav_to_f32(wav: jnp.ndarray) -> jnp.ndarray:
+    """Device-side dtype gate: accept float waveforms as-is, int16 PCM via
+    the exact decoder scale. Trace-time branch — jit specializes per dtype."""
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) * _PCM16_SCALE
+    return wav
+
 
 def _pad_wavs(wavs: Sequence[np.ndarray], buckets=_BUCKETS):
+    """Pad a ragged waveform list to a bucketed (B, T) batch + lengths.
+
+    If every input is int16 (native PCM), the batch stays int16 and the
+    float conversion happens on device (`_wav_to_f32`) — half the transfer
+    bytes for the same numerics (int16 is the lossless source format).
+    """
     lens = np.array([len(w) for w in wavs], np.int32)
     t = int(lens.max())
     for b in buckets:
         if t <= b:
             t = b
             break
-    out = np.zeros((len(wavs), t), np.float32)
+    dt = np.int16 if all(
+        np.asarray(w).dtype == np.int16 for w in wavs
+    ) else np.float32
+    out = np.zeros((len(wavs), t), dt)
     for i, w in enumerate(wavs):
-        out[i, : len(w)] = np.asarray(w, np.float32)
+        out[i, : len(w)] = np.asarray(w, dt)
     return jnp.asarray(out), jnp.asarray(lens)
 
 
@@ -53,10 +76,14 @@ class SpeechCLIP:
         self.tokenizer = tokenizer
         self.vocab = vocab
         self._encode_speech = jax.jit(
-            lambda v, w, l: model.apply(v, w, l, method=KWClip.encode_speech)
+            lambda v, w, l: model.apply(
+                v, _wav_to_f32(w), l, method=KWClip.encode_speech
+            )
         )
         self._feature_extractor = jax.jit(
-            lambda v, w, l: model.apply(v, w, l, method=KWClip.feature_extractor)
+            lambda v, w, l: model.apply(
+                v, _wav_to_f32(w), l, method=KWClip.feature_extractor
+            )
         )
 
     @property

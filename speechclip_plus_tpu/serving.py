@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .api import SpeechCLIP, _pad_wavs
+from .api import SpeechCLIP, _pad_wavs, _wav_to_f32
 from .models.kwclip import KWClip
 
 __all__ = ["RetrievalIndex", "SpeechRetriever", "build_image_index"]
@@ -109,7 +109,8 @@ class SpeechRetriever:
         @partial(jax.jit, static_argnames=("k",))
         def query(variables, wav, wav_len, index_feats, *, k):
             out = model.apply(
-                variables, wav, wav_len, method=KWClip.encode_speech
+                variables, _wav_to_f32(wav), wav_len,
+                method=KWClip.encode_speech,
             )
             feat = out[f"{self.feat_src}_audio_feat"]
             if feat is None:
@@ -125,7 +126,13 @@ class SpeechRetriever:
     def search(
         self, wavs: Sequence[np.ndarray], k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k image ids + cosine scores per waveform (ragged input)."""
+        """Top-k image ids + cosine scores per waveform (ragged input).
+
+        Waveforms may be float32 (decoder output) or int16 PCM (the native
+        wire format): int16 batches cross the host->device link at half the
+        bytes and are scaled by 1/32768 on device — bit-identical to
+        feeding `wav.astype(np.float32) / 32768`.
+        """
         k = min(int(k), len(self.index))
         w, l = _pad_wavs(wavs)
         scores, idx = self._query(

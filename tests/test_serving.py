@@ -52,6 +52,35 @@ def test_search_matches_numpy_ranking():
     )
 
 
+def test_search_int16_pcm_matches_float():
+    """int16 PCM waveforms (half the wire bytes) rank identically to the
+    float32 decode `wav.astype(f32)/32768` — the conversion moves on device,
+    the numerics don't."""
+    sc, cfg = _speechclip()
+    rng = np.random.RandomState(3)
+    images = rng.randn(6, 32, 32, 3).astype(np.float32)
+    index = build_image_index(sc, images, ids=np.arange(6), batch_size=6)
+    retr = SpeechRetriever(sc, index, feat_src="parallel")
+
+    pcm = [
+        (rng.randn(n) * 4000).astype(np.int16) for n in (900, 700, 650)
+    ]
+    ids_i16, scores_i16 = retr.search(pcm, k=4)
+    ids_f32, scores_f32 = retr.search(
+        [w.astype(np.float32) / 32768.0 for w in pcm], k=4
+    )
+    np.testing.assert_array_equal(ids_i16, ids_f32)
+    np.testing.assert_allclose(scores_i16, scores_f32, atol=1e-6)
+
+    # mixed-dtype lists fall back to the float32 wire
+    from speechclip_plus_tpu.api import _pad_wavs
+
+    w, _ = _pad_wavs([pcm[0], pcm[1].astype(np.float32)])
+    assert w.dtype == np.float32
+    w, _ = _pad_wavs(pcm)
+    assert w.dtype == np.int16
+
+
 def test_search_cascaded_source_and_k_clamp():
     sc, cfg = _speechclip()
     rng = np.random.RandomState(2)
