@@ -34,6 +34,45 @@ def _path(*names):
     return tuple(DictKey(n) for n in names)
 
 
+def _make_grad_fn(model, mesh=None, state_sharding=None):
+    """Raw loss gradients with the exact rng/stop_gradient construction of
+    `make_train_step` (same dropout masks, frozen towers cut), so sharded
+    and single-device gradients are directly comparable."""
+    from speechclip_plus_tpu.parallel.mesh import (batch_sharding,
+                                                   replicated_sharding)
+    from speechclip_plus_tpu.parallel.train_step import _forward_and_loss
+
+    cfg = model.cfg
+    frozen_roots = []
+    if not cfg.audio_trainable:
+        frozen_roots.append("audio_encoder")
+    if not (cfg.image_encoder_trainable or cfg.text_encoder_trainable):
+        frozen_roots.append("clip")
+
+    def grad_fn(state, batch, rng):
+        rngs = {"dropout": jax.random.fold_in(rng, state.step)}
+        rngs["vq"] = jax.random.fold_in(rngs["dropout"], 1)
+        rngs["layer_drop"] = jax.random.fold_in(rngs["dropout"], 2)
+
+        def loss_fn(params):
+            p = dict(params)
+            for root in frozen_roots:
+                p[root] = jax.lax.stop_gradient(params[root])
+            losses, _, _, _ = _forward_and_loss(
+                model, p, state.batch_stats, batch, state.step, rngs, True
+            )
+            return losses["loss"]
+
+        return jax.grad(loss_fn)(state.params)
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        state_in = state_sharding if state_sharding is not None else repl
+        return jax.jit(grad_fn,
+                       in_shardings=(state_in, batch_sharding(mesh), repl))
+    return jax.jit(grad_fn)
+
+
 def test_param_partition_specs():
     tp = 2
     # hubert scanned layers: column-parallel qkv/fc1, row-parallel out/fc2
@@ -162,13 +201,34 @@ def test_tp_step_matches_single_device(dp, tp, branch_type, pw, cw):
         float(metrics_ref["train_loss"]), float(metrics_tp["train_loss"]),
         rtol=1e-4,
     )
-    if branch_type == "":  # continuous path: parameter updates match too
+    if branch_type == "":  # continuous path: gradients + updates match
+        # Gradient parity is the primary probe — grads are what the TP
+        # collectives must reproduce, and the tolerance meaningfully bounds
+        # the error. (Post-Adam params are the wrong probe at step 1:
+        # scale_by_adam normalizes any nonzero grad to +-1, so a
+        # reduction-order sign flip on a near-zero gradient moves a param by
+        # the full 2*lr_1 = 2e-4 — flaky — while a genuinely wrong gradient
+        # *scale*, e.g. a missing psum, is normalized away — blind.)
+        g_ref = jax.device_get(_make_grad_fn(model)(state0, batch, key))
+        g_tp = jax.device_get(
+            _make_grad_fn(model, mesh=mesh, state_sharding=shardings)(
+                state0b, sbatch, key))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-3, atol=1e-6),
+            g_ref, g_tp,
+        )
+        # Updated params still guard the optimizer path under shardings
+        # (masking, clipping, Adam state layout); tolerance 5e-4 sits above
+        # the 2*lr_1 = 2e-4 sign-flip bound derived above and far below any
+        # real collective breakage (O(param scale)).
         d = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(
                 a.astype(jnp.float32) - np.asarray(b, np.float32)))),
             state1_ref.params, jax.device_get(state1_tp.params),
         )
-        assert max(jax.tree.leaves(d)) < 1e-4
+        assert max(jax.tree.leaves(d)) < 5e-4
 
 
 @pytest.mark.slow
