@@ -128,6 +128,12 @@ class Trainer:
             config=cfg_node.to_dict() if hasattr(cfg_node, "to_dict") else None,
         )
         self.epoch = 0
+        # preemption support (beyond the reference: Lightning 1.5 has no
+        # SIGTERM grace handling; TPU fleets preempt with a SIGTERM notice):
+        # fit() installs handlers that set this flag, and the loop
+        # checkpoints + returns at the next optimizer-step boundary
+        self._preempt_signum: Optional[int] = None
+        self._skip_batches = 0
 
     # ------------------------------------------------------------- fit ----
 
@@ -162,13 +168,16 @@ class Trainer:
     def _fit_state_path(self) -> str:
         return os.path.join(self.save_path, "checkpoints", "fit_state.json")
 
-    def _save_fit_state(self) -> None:
-        """Persist the loop state the TrainState doesn't carry (epoch), so
-        resume continues the shuffle order, validation cadence and artifact
-        numbering instead of replaying epoch 0 (reference: Lightning restores
-        the full loop state, `base_task.py:206,211`)."""
+    def _save_fit_state(self, batches_done: int = 0) -> None:
+        """Persist the loop state the TrainState doesn't carry (epoch, and —
+        for a mid-epoch preemption save — the number of batches already
+        consumed this epoch), so resume continues the shuffle order,
+        validation cadence and artifact numbering instead of replaying
+        epoch 0 (reference: Lightning restores the full loop state,
+        `base_task.py:206,211`)."""
         with open(self._fit_state_path, "w") as f:
-            json.dump({"epoch": self.epoch, "opt_step": self.opt_step}, f)
+            json.dump({"epoch": self.epoch, "opt_step": self.opt_step,
+                       "batches_done": batches_done}, f)
 
     def resume(self, ckpt_dir: str) -> None:
         """Restore full fit state (params, opt state, step, epoch) from an
@@ -181,7 +190,11 @@ class Trainer:
         fit_state = os.path.join(ckpt_dir, "fit_state.json")
         if os.path.exists(fit_state):
             with open(fit_state) as f:
-                self.epoch = int(json.load(f)["epoch"])
+                fs = json.load(f)
+            self.epoch = int(fs["epoch"])
+            # mid-epoch preemption save: re-enter the epoch's shuffle stream
+            # past the batches already trained (exact-resume, no replay)
+            self._skip_batches = int(fs.get("batches_done", 0))
         else:
             logger.warning(
                 "%s has no fit_state.json; epoch restarts at 0 (shuffle "
@@ -197,6 +210,34 @@ class Trainer:
         """Optimizer steps completed (Lightning `global_step`):
         micro-steps // accumulate_grad_batches."""
         return int(self.state.step) // self.accum
+
+    def _install_preempt_handlers(self):
+        """SIGTERM/SIGINT set a flag; the fit loop checkpoints and returns at
+        the next optimizer-step boundary. TPU fleets announce preemption with
+        SIGTERM + a grace period; the reference's Lightning 1.5 just dies.
+        Returns the previous handlers (restored by fit's finally)."""
+        import signal
+
+        def _on_signal(signum, frame):
+            self._preempt_signum = signum
+
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _on_signal)
+            except ValueError:
+                pass  # not the main thread (e.g. under a test runner)
+        return prev
+
+    def _preempt_save(self, batches_done: int) -> None:
+        if self.ckpt.latest_step() != self.opt_step:
+            self.ckpt.save(self.opt_step, self.state)
+        self._save_fit_state(batches_done=batches_done)
+        logger.warning(
+            "preempted (signal %s): checkpointed at opt_step %d, epoch %d, "
+            "%d batches into the epoch; --resume continues exactly here",
+            self._preempt_signum, self.opt_step, self.epoch, batches_done,
+        )
 
     def fit(
         self,
@@ -215,45 +256,68 @@ class Trainer:
         # off (the loader seeds each epoch's order on seed+epoch)
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(self.epoch)
-        while self.opt_step < self.max_steps:
-            epoch_complete = True
-            for batch in train_loader:
-                if self.opt_step >= self.max_steps:
-                    # stopped mid-epoch: don't advance the epoch counter —
-                    # a resume that extends max_steps replays this epoch
-                    # from its start (same shuffle stream) instead of
-                    # silently skipping its remaining batches
-                    epoch_complete = False
-                    break
-                micro_step = int(self.state.step)
-                self.state, metrics = self.train_step(
-                    self.state, self._device_batch(batch), rng
-                )
-                if micro_step % self.log_every == 0:
-                    row = {k: _scalar(v) for k, v in metrics.items()
-                           if np.asarray(v).ndim == 0}
-                    now = time.time()
-                    done = int(self.state.step) - last_log_step
-                    row["steps_per_sec"] = (
-                        done / max(now - last_log_time, 1e-9) if done else 0.0
+        import signal
+
+        prev_handlers = self._install_preempt_handlers()
+        try:
+            while self.opt_step < self.max_steps:
+                epoch_complete = True
+                skip = self._skip_batches
+                self._skip_batches = 0
+                for i, batch in enumerate(train_loader):
+                    if i < skip:
+                        continue
+                    if (self._preempt_signum is not None
+                            and int(self.state.step) % self.accum == 0):
+                        # optimizer-step boundary: the grad accumulator is
+                        # empty, so the saved state is exact and resume can
+                        # re-enter the shuffle stream at batch i
+                        self._preempt_save(batches_done=i)
+                        return
+                    if self.opt_step >= self.max_steps:
+                        # stopped mid-epoch: don't advance the epoch counter —
+                        # a resume that extends max_steps replays this epoch
+                        # from its start (same shuffle stream) instead of
+                        # silently skipping its remaining batches
+                        epoch_complete = False
+                        break
+                    micro_step = int(self.state.step)
+                    self.state, metrics = self.train_step(
+                        self.state, self._device_batch(batch), rng
                     )
-                    row["micro_step"] = float(int(self.state.step))
+                    if micro_step % self.log_every == 0:
+                        row = {k: _scalar(v) for k, v in metrics.items()
+                               if np.asarray(v).ndim == 0}
+                        now = time.time()
+                        done = int(self.state.step) - last_log_step
+                        row["steps_per_sec"] = (
+                            done / max(now - last_log_time, 1e-9) if done else 0.0
+                        )
+                        row["micro_step"] = float(int(self.state.step))
+                        last_log_step = int(self.state.step)
+                        last_log_time = now
+                        self.metrics_logger.log(row, self.opt_step)
+                if not epoch_complete:
+                    break
+                self.epoch += 1
+                if val_loader is not None and self.epoch % self.val_every_epoch == 0:
+                    val_metrics = self.validate(val_loader)
+                    self.ckpt.save(self.opt_step, self.state, val_metrics)
+                    self._save_fit_state()
+                    last_log_time = time.time()  # don't bill val time to steps/sec
                     last_log_step = int(self.state.step)
-                    last_log_time = now
-                    self.metrics_logger.log(row, self.opt_step)
-            if not epoch_complete:
-                break
-            self.epoch += 1
-            if val_loader is not None and self.epoch % self.val_every_epoch == 0:
+                if self._preempt_signum is not None:
+                    # arrived during validation/checkpointing: the epoch-end
+                    # save above already persisted a clean boundary
+                    self._preempt_save(batches_done=0)
+                    return
+            if val_loader is not None:
                 val_metrics = self.validate(val_loader)
                 self.ckpt.save(self.opt_step, self.state, val_metrics)
                 self._save_fit_state()
-                last_log_time = time.time()  # don't bill val time to steps/sec
-                last_log_step = int(self.state.step)
-        if val_loader is not None:
-            val_metrics = self.validate(val_loader)
-            self.ckpt.save(self.opt_step, self.state, val_metrics)
-            self._save_fit_state()
+        finally:
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
 
     # ------------------------------------------------------- validation ----
 

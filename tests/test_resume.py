@@ -100,7 +100,7 @@ def test_resume_restores_epoch_and_continues_shuffle_stream(tmp_path):
     assert t1.epoch == 2
     fit_state = os.path.join(t1.save_path, "checkpoints", "fit_state.json")
     with open(fit_state) as f:
-        assert json.load(f) == {"epoch": 2, "opt_step": 4}
+        assert json.load(f) == {"epoch": 2, "opt_step": 4, "batches_done": 0}
 
     # fresh trainer resumes: epoch and step restored, loader repositioned
     t2, _, _ = _trainer(tmp_path, max_steps=6, variables=variables,
@@ -148,6 +148,52 @@ def test_mid_epoch_stop_does_not_inflate_epoch(tmp_path):
     t2.fit(loader2, val_loader=[batch])
     assert loader2.set_epoch_calls == [1]
     assert int(t2.state.step) == 4
+
+
+def test_preemption_sigterm_checkpoints_and_resumes_exactly(tmp_path):
+    """SIGTERM mid-epoch (the TPU-fleet preemption notice): fit checkpoints
+    at the next optimizer-step boundary, records the batch position, exits
+    cleanly, and a resumed fit re-enters the epoch's batch stream exactly
+    after the trained batches — no batch trained twice, none skipped.
+    (Beyond the reference: Lightning 1.5 has no SIGTERM grace handling.)"""
+    import signal
+
+    t1, batch, variables = _trainer(tmp_path, max_steps=8)
+
+    class _SignalingLoader(_FakeLoader):
+        def __iter__(self):
+            self.epoch += 1
+
+            def gen():
+                for i, b in enumerate(self.batches):
+                    if i == 2:  # preemption notice arrives after 2 batches
+                        os.kill(os.getpid(), signal.SIGTERM)
+                    yield b
+
+            return gen()
+
+    loader = _SignalingLoader([batch] * 4)  # 4 batches/epoch
+    handler_before = signal.getsignal(signal.SIGTERM)
+    t1.fit(loader, val_loader=[batch])  # returns instead of dying
+    assert int(t1.state.step) == 2  # batches 0,1 trained, then the save
+    assert t1.ckpt.latest_step() == 2
+    with open(os.path.join(t1.save_path, "checkpoints",
+                           "fit_state.json")) as f:
+        assert json.load(f) == {"epoch": 0, "opt_step": 2, "batches_done": 2}
+    # handlers restored after fit
+    assert signal.getsignal(signal.SIGTERM) is handler_before
+
+    # resume: skips the 2 trained batches, finishes the epoch's other 2
+    t2, _, _ = _trainer(tmp_path, max_steps=4, variables=variables,
+                        subdir="run2")
+    t2.resume(os.path.join(t1.save_path, "checkpoints"))
+    assert int(t2.state.step) == 2
+    loader2 = _FakeLoader([batch] * 4)
+    t2.fit(loader2, val_loader=[batch])
+    assert loader2.set_epoch_calls == [0]  # re-enters the SAME epoch
+    assert int(t2.state.step) == 4  # trained exactly batches 2,3 ...
+    assert t2.epoch == 1  # ... which COMPLETED epoch 0 (skip worked:
+    # retraining 0,1 would hit max_steps mid-epoch and leave epoch == 0)
 
 
 def test_validation_loss_weighted_by_valid_rows(tmp_path):
