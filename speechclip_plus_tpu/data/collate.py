@@ -103,19 +103,26 @@ def _decode_batch(
 
 def _worker_main(dataset, decode_kw, task_q, result_q):
     """Persistent decode-worker loop (module-level: spawn/forkserver need a
-    picklable target). Exits on the None sentinel."""
+    picklable target). Exits on the None sentinel. Tasks/results carry a
+    generation id so results from an abandoned epoch iteration (e.g. a
+    preemption return mid-epoch) are dropped instead of misdelivered to the
+    next epoch's identical seq numbers."""
     while True:
         item = task_q.get()
         if item is None:
             return
-        seq, idxs, seed = item
+        gen, seq, idxs, seed = item
         try:
-            result_q.put((seq, _decode_batch(dataset, idxs, seed, **decode_kw)))
+            result_q.put(
+                (gen, seq, _decode_batch(dataset, idxs, seed, **decode_kw))
+            )
         except Exception as e:  # surface decode errors to the consumer
             try:
-                result_q.put((seq, e))
+                result_q.put((gen, seq, e))
             except Exception:
-                result_q.put((seq, RuntimeError(f"unpicklable worker error: {e!r}")))
+                result_q.put(
+                    (gen, seq, RuntimeError(f"unpicklable worker error: {e!r}"))
+                )
 
 
 class BucketedLoader:
@@ -157,6 +164,7 @@ class BucketedLoader:
         self.num_workers = max(int(num_workers), 0)
         self._epoch = 0
         self._pool = None  # (ctx, procs, task_q, result_q), lazily started
+        self._gen = 0  # iteration generation, for dropping stale results
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -216,21 +224,38 @@ class BucketedLoader:
     def _iter_thread(self, batches, seeds) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = object()
+        # set when the consumer abandons iteration (preemption return,
+        # exception, test teardown): without it the producer blocks forever
+        # on a full queue — a leaked thread pinning its decoded batches
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b, s in zip(batches, seeds):
-                    q.put(self._make_batch(b, s))
+                    if not _put(self._make_batch(b, s)):
+                        return
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            abandoned.set()
 
     # ---- persistent worker-process pool (the reference's njobs) ----
 
@@ -280,8 +305,13 @@ class BucketedLoader:
 
     def _iter_multiprocess(self, batches, seeds) -> Iterator[Dict[str, np.ndarray]]:
         procs, task_q, result_q = self._ensure_pool()
+        # generation id: an abandoned iteration (preemption return mid-epoch,
+        # consumer exception) leaves stale tasks/results in flight whose seq
+        # numbers would collide with the next epoch's — tag and drop them
+        self._gen += 1
+        gen = self._gen
         for seq, (b, s) in enumerate(zip(batches, seeds)):
-            task_q.put((seq, np.asarray(b), s))
+            task_q.put((gen, seq, np.asarray(b), s))
 
         pending: Dict[int, Dict[str, np.ndarray]] = {}
         next_seq = 0
@@ -290,9 +320,11 @@ class BucketedLoader:
                 if not any(p.is_alive() for p in procs):
                     raise RuntimeError("all decode workers died")
                 try:
-                    seq, payload = result_q.get(timeout=300)
+                    rgen, seq, payload = result_q.get(timeout=300)
                 except queue.Empty as e:
                     raise RuntimeError("decode workers stalled (300 s)") from e
+                if rgen != gen:
+                    continue  # stale result from an abandoned iteration
                 if isinstance(payload, Exception):
                     self.close()
                     raise payload

@@ -244,6 +244,52 @@ def test_multiprocess_loader_matches_thread_loader(flickr_root):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_thread_loader_abandoned_iteration_stops_producer(flickr_root):
+    """Abandoning an epoch mid-iteration (preemption return, exception) must
+    stop the background decode thread instead of leaving it blocked forever
+    on the full prefetch queue pinning its batches."""
+    import threading
+    import time
+
+    ds = FlickrDataset(str(flickr_root), split="train")
+    loader = BucketedLoader(
+        ds, batch_size=2, shuffle=False, drop_last=False,
+        buckets=(8000, 16000), max_audio_len=8000, train=True, seed=3,
+        num_workers=0,
+    )
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> abandoned.set()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_multiprocess_loader_abandoned_epoch_does_not_poison_next(flickr_root):
+    """Stale results from an abandoned epoch (same seq numbers as the next
+    one) must be dropped by the generation tag, not misdelivered."""
+    ds = FlickrDataset(str(flickr_root), split="train")
+    kw = dict(
+        batch_size=3, shuffle=True, drop_last=False,
+        buckets=(8000, 16000), max_audio_len=8000, train=True, seed=3,
+    )
+    loader = BucketedLoader(ds, **kw, num_workers=1)
+    it = iter(loader)
+    next(it)  # epoch 0: consume one batch, abandon the rest in flight
+    del it
+    got = list(loader)  # epoch 1 must be exactly a fresh loader's epoch 1
+    ref_loader = BucketedLoader(ds, **kw, num_workers=0)
+    ref_loader.set_epoch(1)
+    ref = list(ref_loader)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    loader.close()
+
+
 class _BoomDS:
     """Module-level (picklable into spawn/forkserver workers)."""
 
