@@ -123,6 +123,45 @@ class SpeechRetriever:
 
         self._query = query
 
+        @partial(jax.jit, static_argnames=("k",))
+        def text_query(variables, text_ids, index_feats, *, k):
+            txt = model.apply(
+                variables, text_ids,
+                method=lambda m, t: m.clip.encode_text(t),
+            )
+            scores = _l2_normalize(txt) @ index_feats.T
+            return jax.lax.top_k(scores, k)
+
+        self._text_query = text_query
+        self._text_processor = None
+        if speechclip.tokenizer is not None:
+            from .data.tokenizer import ClipTextProcessor
+
+            self._text_processor = ClipTextProcessor(
+                speechclip.tokenizer, speechclip.vocab
+            )
+
+    def search_text(
+        self, texts: Sequence[str], k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k image ids + cosine scores per text query (CLIP text tower,
+        reduced-vocab ids when the model carries a reduced vocabulary) —
+        the same device-resident index answers both modalities."""
+        if self._text_processor is None:
+            raise ValueError(
+                "text queries need a tokenizer: load the model via "
+                "api.load_from_checkpoint with the config's bpe_path, or "
+                "construct SpeechCLIP(..., tokenizer=..., vocab=...)"
+            )
+        k = min(int(k), len(self.index))
+        ids = jnp.asarray(self._text_processor.prep_text(
+            list(texts), context_length=self.sc.cfg.clip.context_length
+        ))
+        scores, idx = self._text_query(
+            self.sc.variables, ids, self.index.feats, k=k
+        )
+        return self.index.ids[np.asarray(idx)], np.asarray(scores)
+
     def search(
         self, wavs: Sequence[np.ndarray], k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:

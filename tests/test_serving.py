@@ -81,6 +81,62 @@ def test_search_int16_pcm_matches_float():
     assert w.dtype == np.int16
 
 
+def test_search_text_matches_numpy_ranking(tmp_path):
+    """Text queries hit the same device-resident index through the CLIP
+    text tower; ranking must match a numpy oracle over the same ids."""
+    import dataclasses
+
+    from speechclip_plus_tpu.data.tokenizer import SimpleTokenizer
+    from speechclip_plus_tpu.models.clip import ClipConfig
+
+    merges = ["#version: 0.2", "a t</w>", "c at</w>", "d o", "do g</w>",
+              "r u", "ru n", "run s</w>", "t h", "th e</w>"]
+    bpe = tmp_path / "merges.txt"
+    bpe.write_text("\n".join(merges) + "\n")
+    tok = SimpleTokenizer(str(bpe))
+
+    cfg = tiny_cfg("HybridBranch_plus")
+    cfg = dataclasses.replace(
+        cfg,
+        clip=ClipConfig.tiny(
+            text_width=32, embed_dim=32, vocab_size=tok.vocab_size,
+            sot_id=tok.sot, eot_id=tok.eot,
+        ),
+    )
+    model = KWClip(cfg)
+    rng = np.random.RandomState(5)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, training=False
+    )
+    sc = SpeechCLIP(model, variables, tokenizer=tok)
+
+    images = rng.randn(7, 32, 32, 3).astype(np.float32)
+    index = build_image_index(sc, images, ids=np.arange(20, 27), batch_size=7)
+    retr = SpeechRetriever(sc, index, feat_src="parallel")
+
+    texts = ["the cat runs", "a dog", "cat dog runs the"]
+    ids, scores = retr.search_text(texts, k=3)
+    assert ids.shape == (3, 3) and scores.shape == (3, 3)
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+    # numpy oracle over the same token ids + tower
+    tid = retr._text_processor.prep_text(texts, context_length=16)
+    txt = np.asarray(model.apply(
+        variables, jnp.asarray(tid), method=lambda m, t: m.clip.encode_text(t)
+    ), np.float32)
+    txt = txt / np.maximum(np.linalg.norm(txt, axis=-1, keepdims=True), 1e-8)
+    ref = txt @ np.asarray(index.feats).T
+    top = np.argsort(-ref, axis=1)[:, :3]
+    np.testing.assert_array_equal(ids, np.arange(20, 27)[top])
+
+    # without a tokenizer the error is actionable
+    sc2 = SpeechCLIP(model, variables)
+    retr2 = SpeechRetriever(sc2, index, feat_src="parallel")
+    with pytest.raises(ValueError, match="tokenizer"):
+        retr2.search_text(["x"])
+
+
 def test_search_cascaded_source_and_k_clamp():
     sc, cfg = _speechclip()
     rng = np.random.RandomState(2)
