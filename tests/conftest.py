@@ -29,3 +29,20 @@ jax.config.update("jax_platforms", "cpu")
 
 # golden tests compare against torch f32; use full-precision matmuls
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_compile_state():
+    """Clear jit/compilation caches between test modules.
+
+    A full single-process slow-tier run (~90 tests, hundreds of compiled
+    executables) segfaults inside XLA-CPU's `backend_compile_and_load`
+    (LLVM codegen) at the heaviest late module — 3/3 reproductions at
+    test_task_cli's full-base model build, each passing in isolation with
+    >100 GB RAM free. Bounding the accumulated in-process compiler state
+    per module avoids the crash; cross-module executable reuse is ~nil, so
+    the only cost is per-module recompiles of shared helpers."""
+    yield
+    jax.clear_caches()
