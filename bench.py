@@ -16,7 +16,7 @@ throughput numbers, SURVEY §6) — a *lower bound* on reference per-pair work,
 labeled as such in `baseline_kind`.
 
 Env knobs: BENCH_BATCH (default 128), BENCH_WAV_LEN (default 102400),
-BENCH_STEPS (default 10), BENCH_SKIP_TORCH=1 to reuse/skip the baseline,
+BENCH_STEPS (default 30), BENCH_SKIP_TORCH=1 to reuse/skip the baseline,
 BENCH_CONFIG to bench another YAML (e.g. the large recipe), BENCH_OUT to
 additionally dump the raw stats dict to a JSON file.
 
@@ -36,7 +36,7 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WAV_LEN = int(os.environ.get("BENCH_WAV_LEN", "102400"))
-STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 CONFIG = os.environ.get("BENCH_CONFIG") or os.path.join(
     os.path.dirname(__file__), "config", "speechclip_plus", "base",

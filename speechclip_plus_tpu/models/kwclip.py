@@ -176,18 +176,20 @@ class KWClipConfig:
 
         # optional additive key (not in the reference schema): `clip.remat`
         # rematerializes the CLIP tower scan bodies in the backward pass.
-        # Auto policy: ON for the large text tower (text_width >= 768). The
-        # cascaded branch differentiates through the text tower to its
-        # keyword INPUTS, so the 12-layer scan saves per-layer residuals —
-        # fp32 attention probs (720M padded) + 3x bf16 (12,B,77,3072) FFN
-        # buffers + six fp32 (12,B,77,768) tensors at B=128 for ViT-L/14's
-        # 768-wide text tower — which is exactly what OOMed v5e HBM
-        # (measured 18.03G > 15.75G). Remat trades them for one extra text
-        # forward (~1.7 TF at B=128). The frozen ViT and audio towers keep
-        # no residuals (no input grads), so this changes nothing for them.
+        # Auto policy: ON. The cascaded branch differentiates through the
+        # text tower to its keyword INPUTS, so the 12-layer scan saves
+        # per-layer residuals — fp32 attention probs + bf16 FFN buffers +
+        # fp32 pre-norm tensors. For the 768-wide large text tower those
+        # residuals OOMed v5e HBM (measured 18.03G > 15.75G); remat trades
+        # them for one extra text forward and *wins the step-time ABA on
+        # both families* (large: 680.3/688.7/679.6 ms on/off/on; base:
+        # 196.1/200.9/196.0 — writing+re-reading the residuals costs more
+        # than recomputing the forward). The frozen ViT and audio towers
+        # keep no residuals (no input grads), so this changes nothing for
+        # them. `clip.remat: false` in YAML reverts.
         clip_remat = getattr(cfg.clip, "remat", None)
         if clip_remat is None:
-            clip_remat = clip_cfg.text_width >= 768
+            clip_remat = True
         clip_cfg = dataclasses.replace(clip_cfg, remat=bool(clip_remat))
 
         audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")

@@ -247,8 +247,9 @@ def test_remat_grad_parity():
 
 
 def test_clip_remat_config_policy():
-    """Auto remat: ON for the large text tower (text_width >= 768), OFF for
-    base; explicit `clip.remat` YAML key wins."""
+    """Auto remat: ON for both families (wins the step-time ABA on base and
+    large, and is required to fit large in HBM); explicit `clip.remat` YAML
+    key wins."""
     import os
 
     from speechclip_plus_tpu.config import load_config
@@ -262,6 +263,6 @@ def test_clip_remat_config_policy():
     base = load_config(
         os.path.join(repo, "config", "speechclip_plus", "base",
                      "hybrid_plus.yaml"))
-    assert KWClipConfig.from_config(base).clip.remat is False
-    base.clip.remat = True
     assert KWClipConfig.from_config(base).clip.remat is True
+    base.clip.remat = False
+    assert KWClipConfig.from_config(base).clip.remat is False
