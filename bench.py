@@ -10,10 +10,11 @@ reference shapes (6.4 s crops = `max_audio_len: 102400`, 224x224 images).
 
 Honest readout: besides pairs/s the JSON line carries the mean step time,
 XLA's own FLOP estimate for the compiled step, achieved TFLOP/s and MFU
-against the chip's bf16 peak. `vs_baseline` divides by a torch-CPU
-forward-only run of the same frozen towers (the reference publishes no
-throughput numbers, SURVEY §6) — a *lower bound* on reference per-pair work,
-labeled as such in `baseline_kind`.
+against the chip's bf16 peak. `vs_baseline` is the ratio to an ANALYTIC
+A100 GPU-equivalent at eager-realistic MFU 0.15 (same per-pair FLOPs both
+sides, utils/flops.py) — the reference publishes no throughput numbers
+(SURVEY §6). The torch-CPU forward lower bound stays in the JSON as
+`vs_torch_cpu_forward_lower_bound`, clearly labeled, never the headline.
 
 Env knobs: BENCH_BATCH (default 128), BENCH_WAV_LEN (default 102400),
 BENCH_STEPS (default 30), BENCH_SKIP_TORCH=1 to reuse/skip the baseline,
@@ -97,6 +98,13 @@ def _product_path_setup():
         cfg.audio_encoder.fused_attention = (
             os.environ["BENCH_FUSED_ATTN"] == "1"
         )
+    if os.environ.get("BENCH_FUSED_BLOCK"):
+        # A/B the fused QKV->attention->out-proj block kernel
+        # (nn/fused_attention_block.py; default auto-on for frozen towers
+        # on a single TPU device)
+        cfg.audio_encoder.fused_attention_block = (
+            os.environ["BENCH_FUSED_BLOCK"] == "1"
+        )
     if os.environ.get("BENCH_FUSED_QKV"):
         # A/B the trace-time QKV kernel concat (bitwise-identical; default
         # OFF — measured 221.3 vs 218.5 ms on v5e, see HubertConfig)
@@ -109,9 +117,10 @@ def _product_path_setup():
         # A/B the dropout-mask bit width (ops/random.py; default 8, dithered)
         cfg.trainer.dropout_mask_bits = int(os.environ["BENCH_MASK_BITS"])
     if os.environ.get("BENCH_CLIP_REMAT"):
-        # A/B text-tower remat (auto-on for text_width >= 768; "0" forces off
-        # — viable on the large config once the grad-accumulation buffer
-        # stopped holding frozen-tower zeros, optim/optimizer.py)
+        # A/B text-tower remat (default ON for all families — wins the
+        # step-time ABA on both base and large, models/kwclip.py; "0"
+        # forces off — viable on the large config once the grad-accum
+        # buffer stopped holding frozen-tower zeros, optim/optimizer.py)
         cfg.clip.remat = os.environ["BENCH_CLIP_REMAT"] == "1"
     vocab = resolve_reduced_vocab(cfg)
     model_cfg = KWClipConfig.from_config(
@@ -415,17 +424,26 @@ def main():
     stats = bench_tpu()
     baseline = get_baseline()
     value = stats["pairs_per_sec"]
-    vs = value / baseline if baseline == baseline and baseline > 0 else 0.0
+    vs_torch_cpu = (
+        value / baseline if baseline == baseline and baseline > 0 else None
+    )
 
     def r(x, n=3):
-        return round(x, n) if x == x else None
+        return round(x, n) if x is not None and x == x else None
 
+    # vs_baseline is the analytic A100 GPU-equivalent at eager-realistic
+    # MFU 0.15 (same per-pair FLOP convention both sides, utils/flops.py)
+    # — the only comparative number honest enough to headline. The
+    # round-1..3 torch-CPU forward ratio (~1000x) was a lower bound on
+    # reference work, not a capability signal; it stays below, labeled.
+    gpu = gpu_estimate(stats["analytic_flops_per_step"], value)
     row = {
         "metric": "hybrid_plus_base_train_pairs_per_sec_per_chip",
         "value": r(value),
         "unit": "pairs/s/chip",
-        "vs_baseline": r(vs),
-        "baseline_kind": "torch_cpu_frozen_tower_forward_lower_bound",
+        "vs_baseline": gpu.get("vs_gpu_estimate_mfu15"),
+        "baseline_kind": "analytic_gpu_equivalent_a100_bf16_mfu15",
+        "vs_torch_cpu_forward_lower_bound": r(vs_torch_cpu),
         "step_ms": r(stats["step_ms"], 2),
         "achieved_tflops": r(stats["achieved_tflops"], 2),
         "analytic_tflops": r(stats["analytic_tflops"], 2),
@@ -437,7 +455,7 @@ def main():
         "device": stats["device"],
         "path": "product (YAML->KWClipConfig->make_train_step)",
     }
-    row.update(gpu_estimate(stats["analytic_flops_per_step"], value))
+    row.update(gpu)
     # large-family numbers, measured on hardware via
     # `BENCH_CONFIG=config/speechclip_plus/large/flickr/hybrid_plus.yaml
     #  BENCH_OUT=BENCH_LARGE.json python bench.py` and committed

@@ -40,6 +40,9 @@ KNOBS = {
         int),
     "fused_qkv": (
         lambda cfg, v: setattr(cfg.audio_encoder, "fused_qkv", bool(v)), int),
+    "fused_attention_block": (
+        lambda cfg, v: setattr(
+            cfg.audio_encoder, "fused_attention_block", bool(v)), int),
     "fused_st": (
         lambda cfg, v: setattr(
             cfg.model_settings.cascaded_branch.vq.args, "fused_st", bool(v)),

@@ -103,6 +103,15 @@ class HubertConfig:
     # a frozen tower (no backward exists); KWClipConfig.from_config turns
     # it on exactly then. Falls back to XLA off-TPU.
     fused_attention_dropout: bool = False
+    # Forward-only fused attention BLOCK (nn/fused_attention_block.py):
+    # fuses QKV projection -> per-head attention (+ in-kernel dropout) ->
+    # output projection per layer, consuming the residual stream in its
+    # native (B, T, D) layout — the round-4 answer to the layout
+    # transposes that made the attention-only kernel above lose in-model
+    # (PERF.md §3). Frozen towers only (no backward); same param tree as
+    # the separate projections, so checkpoints and TP sharding rules are
+    # untouched. Falls back to XLA off-TPU / beyond VMEM budget.
+    fused_attention_block: bool = False
     # stochastic LayerDrop rate (fairseq `encoder.layerdrop`, set from config
     # `audio_encoder.layer_drop`, reference speech_encoder_plus.py:407-415).
     # Active only in training. Static-shape formulation: a dropped layer
@@ -657,6 +666,23 @@ class HubertEncoderLayer(nn.Module):
 
         def attn(h):
             B, T, D = h.shape
+            if getattr(c, "fused_attention_block", False):
+                from ..nn.fused_attention_block import fused_attention_block
+
+                wq, bq = _DenseParams(D, D, name="q_proj")()
+                wk, bk = _DenseParams(D, D, name="k_proj")()
+                wv, bv = _DenseParams(D, D, name="v_proj")()
+                wo, bo = _DenseParams(D, D, name="out_proj")()
+                return fused_attention_block(
+                    h, wq, bq, wk, bk, wv, bv, wo, bo, key_padding_bias,
+                    n_heads=c.n_heads,
+                    dropout_rate=c.attention_dropout,
+                    dropout_rng=self.make_rng("dropout")
+                    if (c.attention_dropout > 0 and not deterministic)
+                    else None,
+                    deterministic=deterministic,
+                    dtype=c.dtype,
+                )
             if getattr(c, "fused_qkv", False):
                 wq, bq = _DenseParams(D, D, name="q_proj")()
                 wk, bk = _DenseParams(D, D, name="k_proj")()

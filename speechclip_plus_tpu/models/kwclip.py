@@ -327,6 +327,36 @@ class KWClipConfig:
                 audio_cfg, fused_attention_dropout=bool(fused_attn)
             )
 
+        # optional additive key: `audio_encoder.fused_attention_block`
+        # selects the round-4 fused QKV->attention->out-proj kernel
+        # (nn/fused_attention_block.py) that consumes the residual stream
+        # in native (B, T, D) layout — no transposes at any HBM boundary.
+        # Frozen towers only (forward-only kernel). Default: ON for a
+        # frozen HuBERT tower on a single TPU device (the kernel is a
+        # pallas_call, which XLA SPMD cannot partition under a pjit mesh;
+        # multi-device steps keep the XLA path), OFF elsewhere; YAML
+        # `false` forces off, `true` asserts single-device frozen.
+        fused_blk = getattr(
+            cfg.audio_encoder, "fused_attention_block", None
+        )
+        if fused_blk and audio_is_trainable:
+            raise ValueError(
+                "audio_encoder.fused_attention_block requires a frozen "
+                "tower (forward-only kernel, nn/fused_attention_block.py)"
+            )
+        if hasattr(audio_cfg, "fused_attention_block"):
+            if fused_blk is None:
+                import jax as _jax
+
+                fused_blk = (
+                    not audio_is_trainable
+                    and _jax.default_backend() == "tpu"
+                    and len(_jax.devices()) == 1
+                )
+            audio_cfg = dataclasses.replace(
+                audio_cfg, fused_attention_block=bool(fused_blk)
+            )
+
         # optional additive key: `audio_encoder.fused_qkv` computes the
         # tower's q/k/v with one (D, 3D) matmul via a trace-time kernel
         # concat — bitwise-identical outputs and the same param tree

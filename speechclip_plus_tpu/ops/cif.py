@@ -94,9 +94,16 @@ def integrate_and_fire(
     upper = jnp.where(t == T - 1, jnp.inf, (t + 1.0) * threshold)
 
     # Overlap of the frame's mass interval with each firing bin: (B, T, S).
+    # The zero-overlap clamp is a `where(hi >= lo, ...)`, NOT clip/maximum:
+    # a zero-alpha frame (padding, or a genuinely zero weight) has
+    # csum == csum_prev, so its containing bin ties at hi - lo == 0, and
+    # jnp.maximum splits the gradient 0.5/0.5 at ties — while the
+    # reference's left_weight = alpha - ... path carries subgradient 1
+    # there (cif.py:220-227, verified by tests/test_reference_oracle.py
+    # gradient parity; the >= keeps the selected branch's full gradient).
     hi = jnp.minimum(csum[:, None, :], upper[None, :, None])
     lo = jnp.maximum(csum_prev[:, None, :], lower[None, :, None])
-    W = jnp.clip(hi - lo, 0.0, None)
+    W = jnp.where(hi >= lo, hi - lo, 0.0)
 
     # small (T x S) @ (S x D) batched matmul; full f32 MXU passes - the split
     # weights are parity-critical and the op is tiny next to the towers

@@ -1,0 +1,150 @@
+"""Fused QKV->attention->out-proj block kernel (nn/fused_attention_block.py).
+
+Parity vs the layer's XLA path (projections + `dot_product_attention` +
+out-proj) in Pallas interpret mode, p=0 — the in-kernel PRNG is TPU
+hardware; on-chip dropout statistics are validated by
+scripts/bench_attention_block.py."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speechclip_plus_tpu.nn.attention import dot_product_attention
+from speechclip_plus_tpu.nn.fused_attention_block import fused_attention_block
+
+
+def _params(rng, D):
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05)
+    return dict(
+        wq=mk(D, D), bq=mk(D), wk=mk(D, D), bk=mk(D), wv=mk(D, D), bv=mk(D),
+        wo=mk(D, D), bo=mk(D),
+    )
+
+
+def _xla_reference(x, p, n_heads, bias4=None):
+    b, t, d = x.shape
+    dh = d // n_heads
+    q = x @ p["wq"] + p["bq"]
+    k = x @ p["wk"] + p["bk"]
+    v = x @ p["wv"] + p["bv"]
+    split = lambda a: a.reshape(b, t, n_heads, dh).transpose(0, 2, 1, 3)
+    out = dot_product_attention(split(q), split(k), split(v), bias=bias4)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return out @ p["wo"] + p["bo"]
+
+
+@pytest.mark.parametrize("T", [64, 320, 70])  # 70: sublane-pad path
+def test_matches_xla_layer_path(T):
+    rng = np.random.RandomState(0)
+    B, H, D = 3, 4, 64
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    p = _params(rng, D)
+    lens = np.array([T, T // 2, max(T // 3, 1)])
+    kpm = jnp.asarray(np.arange(T)[None, :] >= lens[:, None])
+    bias = jnp.where(kpm[:, None, None, :], -1e30, 0.0).astype(jnp.float32)
+
+    ref = _xla_reference(x, p, H, bias)
+    out = fused_attention_block(
+        x, p["wq"], p["bq"], p["wk"], p["bk"], p["wv"], p["bv"],
+        p["wo"], p["bo"], bias, n_heads=H, dtype=jnp.float32,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_close_to_fp32_reference():
+    rng = np.random.RandomState(1)
+    B, H, D, T = 2, 12, 768, 320
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.1)
+    p = _params(rng, D)
+    ref = _xla_reference(x, p, H)
+    out = fused_attention_block(
+        x.astype(jnp.bfloat16), p["wq"], p["bq"], p["wk"], p["bk"],
+        p["wv"], p["bv"], p["wo"], p["bo"], None, n_heads=H,
+        dtype=jnp.bfloat16, interpret=True,
+    )
+    assert out.dtype == jnp.bfloat16
+    # bf16 matmuls at D=768: tolerance scales with the contraction length
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.1, atol=0.15
+    )
+
+
+def test_off_tpu_fallback_is_xla_path():
+    rng = np.random.RandomState(3)
+    B, H, D, T = 2, 4, 64, 96
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    p = _params(rng, D)
+    ref = _xla_reference(x, p, H)
+    out = fused_attention_block(
+        x, p["wq"], p["bq"], p["wk"], p["bk"], p["wv"], p["bv"],
+        p["wo"], p["bo"], None, n_heads=H, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_backward_raises():
+    rng = np.random.RandomState(4)
+    B, H, D, T = 1, 2, 32, 64
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    p = _params(rng, D)
+
+    def f(x):
+        return fused_attention_block(
+            x, p["wq"], p["bq"], p["wk"], p["bk"], p["wv"], p["bv"],
+            p["wo"], p["bo"], None, n_heads=H, dtype=jnp.float32,
+            interpret=True,
+        ).sum()
+
+    with pytest.raises(NotImplementedError):
+        jax.grad(f)(x)
+
+
+def test_config_gate_rejects_trainable_tower():
+    import os
+
+    from speechclip_plus_tpu.config import load_config
+    from speechclip_plus_tpu.models.kwclip import KWClipConfig
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_config(
+        os.path.join(repo, "config", "speechclip_plus", "base",
+                     "hybrid_plus.yaml")
+    )
+    cfg.audio_encoder.fused_attention_block = True
+    mc = KWClipConfig.from_config(cfg)
+    assert mc.audio.fused_attention_block is True
+
+    cfg.audio_encoder.trainable = True
+    with pytest.raises(ValueError):
+        KWClipConfig.from_config(cfg)
+
+
+def test_hubert_layer_parity_with_fused_block():
+    """The same HubertEncoderLayer params must produce (near-)identical
+    outputs with the flag on and off — the fused path owns the identical
+    q_proj/k_proj/v_proj/out_proj param tree (interpret-mode kernel)."""
+    from speechclip_plus_tpu.models.hubert import (HubertConfig,
+                                                   HubertEncoderLayer)
+
+    cfg = HubertConfig.tiny()
+    B, T, D = 2, 48, cfg.d_model
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    layer = HubertEncoderLayer(cfg)
+    variables = layer.init(jax.random.PRNGKey(0), x, None)
+
+    ref = layer.apply(variables, x, None)
+
+    fused_cfg = dataclasses.replace(cfg, fused_attention_block=True)
+    fused_layer = HubertEncoderLayer(fused_cfg)
+    # same param tree: apply the baseline variables directly. CPU run goes
+    # through the wrapper's XLA fallback — identical math, exercises the
+    # layer plumbing; kernel math is covered above in interpret mode.
+    out = fused_layer.apply(variables, x, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
