@@ -15,6 +15,13 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Multi-host (pod-scale) entry: SPEECHCLIP_MULTIHOST=auto on a TPU pod
+# slice, or SPEECHCLIP_COORDINATOR/NUM_PROCESSES/PROCESS_ID for explicit
+# bring-up. Must run before any backend use; no-op on a single host.
+from speechclip_plus_tpu.parallel import maybe_initialize_distributed
+
+maybe_initialize_distributed()
+
 import speechclip_plus_tpu.tasks as tasks
 
 

@@ -88,12 +88,38 @@ def main():
               f"({n_wavs / p50:.1f} queries/s)", flush=True)
         return p50
 
+    def bench_pipelined(n_batches, label):
+        """Sustained pipelined throughput: `search_stream` keeps 2 query
+        batches in flight, overlapping each upload (the dominant cost on a
+        network-attached chip) with the previous batch's compute."""
+        def mk():
+            if args.wire == "int16":
+                return [(rng.randn(args.wav_len) * 4000).astype(np.int16)
+                        for _ in range(args.batch)]
+            return [rng.randn(args.wav_len).astype(np.float32)
+                    for _ in range(args.batch)]
+
+        batches = [mk() for _ in range(n_batches)]
+        # compile + warm
+        next(iter(retr.search_stream(batches[:1], k=args.k)))
+        t0 = time.perf_counter()
+        n = 0
+        for ids, _ in retr.search_stream(batches, k=args.k, depth=2):
+            n += len(ids)
+        dt = time.perf_counter() - t0
+        print(f"{label}: {n} queries in {dt:.2f}s = {n / dt:.1f} queries/s",
+              flush=True)
+        return n / dt
+
     print(f"device={jax.devices()[0].device_kind} index={args.index_size} "
           f"k={args.k} wav={args.wav_len / 16000:.1f}s wire={args.wire}",
           flush=True)
     bench(1, "single query (end-to-end, incl. host pad + top-k fetch)")
     p50 = bench(args.batch, f"batch {args.batch}")
-    print(f"throughput: {args.batch / p50:.1f} queries/s/chip")
+    print(f"throughput (serialized): {args.batch / p50:.1f} queries/s/chip")
+    rate = bench_pipelined(max(args.iters // 2, 6),
+                           f"pipelined batch {args.batch} x depth 2")
+    print(f"throughput (pipelined): {rate:.1f} queries/s/chip")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chunks", type=int, default=0,
                     help="conv-frontend chunks (0 = YAML/auto default)")
+    ap.add_argument("--config", default=None,
+                    help="YAML path (default: base hybrid_plus)")
     args = ap.parse_args()
 
     os.environ["BENCH_BATCH"] = str(args.batch)
@@ -50,7 +52,7 @@ def main():
     from __graft_entry__ import _make_batch
 
     repo = os.path.join(os.path.dirname(__file__), "..")
-    cfg = load_config(os.path.join(
+    cfg = load_config(args.config or os.path.join(
         repo, "config", "speechclip_plus", "base", "hybrid_plus.yaml"))
     vocab = resolve_reduced_vocab(cfg)
     if os.environ.get("BENCH_FUSED_ATTN"):

@@ -28,6 +28,8 @@ __all__ = [
     "materialize_weight_norm",
     "fairseq_hubert_to_flax",
     "hf_hubert_to_flax",
+    "hf_wavlm_to_flax",
+    "hf_data2vec_audio_to_flax",
     "openai_clip_to_flax",
     "hf_clip_to_flax",
     "reduce_token_embedding",
@@ -142,6 +144,111 @@ def hf_hubert_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
         "layer_norm": t2j_layernorm(sd, f"{p}feature_projection.layer_norm."),
         "post_extract_proj": t2j_dense(sd, f"{p}feature_projection.projection."),
         "pos_conv": {"conv": _pos_conv_kernel(sd, f"{p}encoder.pos_conv_embed.conv.")},
+        "encoder_layer_norm": t2j_layernorm(sd, f"{p}encoder.layer_norm."),
+    }
+    layers = []
+    for i in range(cfg.n_layers):
+        lp = f"{p}encoder.layers.{i}."
+        layers.append({
+            "q_proj": t2j_dense(sd, f"{lp}attention.q_proj."),
+            "k_proj": t2j_dense(sd, f"{lp}attention.k_proj."),
+            "v_proj": t2j_dense(sd, f"{lp}attention.v_proj."),
+            "out_proj": t2j_dense(sd, f"{lp}attention.out_proj."),
+            "self_attn_layer_norm": t2j_layernorm(sd, f"{lp}layer_norm."),
+            "fc1": t2j_dense(sd, f"{lp}feed_forward.intermediate_dense."),
+            "fc2": t2j_dense(sd, f"{lp}feed_forward.output_dense."),
+            "final_layer_norm": t2j_layernorm(sd, f"{lp}final_layer_norm."),
+        })
+    if getattr(cfg, "scan_layers", False):
+        params["layers"] = {"layer": stack_layer_params(layers)}
+    else:
+        for i, l in enumerate(layers):
+            params[f"layers_{i}"] = l
+    return params
+
+
+def hf_wavlm_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
+    """HuggingFace WavLMModel state dict -> our params.
+
+    Same tree as the HuBERT family plus: per-layer gated-rel-pos params
+    (`gru_rel_pos_linear`, `gru_rel_pos_const`) and the bucketed
+    relative-position table, which HF keeps in layer 0's attention and a
+    scanned homogeneous stack hoists to the model (`rel_attn_embed`)."""
+    p = prefix
+    fe = {}
+    for i in range(len(cfg.conv_layers)):
+        fe[f"conv_{i}"] = _conv1d(
+            sd, f"{p}feature_extractor.conv_layers.{i}.conv.weight",
+            f"{p}feature_extractor.conv_layers.{i}.conv.bias",
+        )
+        if cfg.extractor_mode == "group_norm" and i == 0:
+            fe["gn_0"] = t2j_layernorm(
+                sd, f"{p}feature_extractor.conv_layers.0.layer_norm.")
+        elif cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = t2j_layernorm(
+                sd, f"{p}feature_extractor.conv_layers.{i}.layer_norm.")
+
+    params = {
+        "feature_extractor": fe,
+        "layer_norm": t2j_layernorm(sd, f"{p}feature_projection.layer_norm."),
+        "post_extract_proj": t2j_dense(sd, f"{p}feature_projection.projection."),
+        "pos_conv": {"conv": _pos_conv_kernel(
+            sd, f"{p}encoder.pos_conv_embed.conv.")},
+        "encoder_layer_norm": t2j_layernorm(sd, f"{p}encoder.layer_norm."),
+        "rel_attn_embed": _np(
+            sd[f"{p}encoder.layers.0.attention.rel_attn_embed.weight"]
+        ),
+    }
+    layers = []
+    for i in range(cfg.n_layers):
+        lp = f"{p}encoder.layers.{i}."
+        layers.append({
+            "q_proj": t2j_dense(sd, f"{lp}attention.q_proj."),
+            "k_proj": t2j_dense(sd, f"{lp}attention.k_proj."),
+            "v_proj": t2j_dense(sd, f"{lp}attention.v_proj."),
+            "out_proj": t2j_dense(sd, f"{lp}attention.out_proj."),
+            "gru_rel_pos_linear": t2j_dense(
+                sd, f"{lp}attention.gru_rel_pos_linear."),
+            "gru_rel_pos_const": _np(sd[f"{lp}attention.gru_rel_pos_const"]),
+            "self_attn_layer_norm": t2j_layernorm(sd, f"{lp}layer_norm."),
+            "fc1": t2j_dense(sd, f"{lp}feed_forward.intermediate_dense."),
+            "fc2": t2j_dense(sd, f"{lp}feed_forward.output_dense."),
+            "final_layer_norm": t2j_layernorm(sd, f"{lp}final_layer_norm."),
+        })
+    if getattr(cfg, "scan_layers", False):
+        params["layers"] = {"layer": stack_layer_params(layers)}
+    else:
+        for i, l in enumerate(layers):
+            params[f"layers_{i}"] = l
+    return params
+
+
+def hf_data2vec_audio_to_flax(sd: Mapping, cfg, prefix: str = "") -> Dict:
+    """HuggingFace Data2VecAudioModel state dict -> our params.
+
+    wav2vec2-architecture tower with a layer-norm conv frontend and the
+    5-layer stacked positional conv (`pos_conv_depth`, plain weights)."""
+    p = prefix
+    fe = {}
+    for i in range(len(cfg.conv_layers)):
+        fe[f"conv_{i}"] = _conv1d(
+            sd, f"{p}feature_extractor.conv_layers.{i}.conv.weight",
+            f"{p}feature_extractor.conv_layers.{i}.conv.bias",
+        )
+        fe[f"ln_{i}"] = t2j_layernorm(
+            sd, f"{p}feature_extractor.conv_layers.{i}.layer_norm.")
+
+    pos = {}
+    for j in range(int(getattr(cfg, "pos_conv_depth", 1) or 1)):
+        pos[f"conv_{j}"] = _conv1d(
+            sd, f"{p}encoder.pos_conv_embed.layers.{j}.conv.weight",
+            f"{p}encoder.pos_conv_embed.layers.{j}.conv.bias",
+        )
+    params = {
+        "feature_extractor": fe,
+        "layer_norm": t2j_layernorm(sd, f"{p}feature_projection.layer_norm."),
+        "post_extract_proj": t2j_dense(sd, f"{p}feature_projection.projection."),
+        "pos_conv": pos,
         "encoder_layer_norm": t2j_layernorm(sd, f"{p}encoder.layer_norm."),
     }
     layers = []

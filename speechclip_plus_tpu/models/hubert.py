@@ -71,6 +71,17 @@ class HubertConfig:
     layer_norm_first: bool = False  # True for large
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    # stacked positional-conv variant (data2vec audio: 5 x [conv(k=19,
+    # groups=16) -> non-affine LayerNorm -> GELU]); 1 = the single
+    # weight-normalized fairseq pos_conv above
+    pos_conv_depth: int = 1
+    # WavLM gated relative position bias (microsoft/unilm WavLM; HF
+    # transformers WavLMAttention semantics): a bucketed relative-position
+    # embedding table shared across layers (owned by the model, mirroring
+    # HF layer 0), gated per layer/head/query from the layer input
+    rel_pos_bias: bool = False
+    rel_buckets: int = 320
+    rel_max_distance: int = 800
     normalize_waveform: bool = False  # True for large (task cfg `normalize`)
     dropout: float = 0.1
     attention_dropout: float = 0.1
@@ -173,6 +184,34 @@ class HubertConfig:
         )
 
     @staticmethod
+    def wavlm_base() -> "HubertConfig":
+        return HubertConfig(rel_pos_bias=True)
+
+    @staticmethod
+    def wavlm_large() -> "HubertConfig":
+        return dataclasses.replace(HubertConfig.large(), rel_pos_bias=True)
+
+    @staticmethod
+    def data2vec_base() -> "HubertConfig":
+        # fairseq data2vec audio: layer-norm frontend (no conv bias),
+        # post-norm encoder, 5-layer stacked pos conv (k=19, groups=16),
+        # waveform normalization (HF Data2VecAudioModel semantics)
+        return HubertConfig(
+            extractor_mode="layer_norm",
+            conv_bias=False,
+            conv_pos=19,
+            pos_conv_depth=5,
+            normalize_waveform=True,
+        )
+
+    @staticmethod
+    def data2vec_large() -> "HubertConfig":
+        return dataclasses.replace(
+            HubertConfig.data2vec_base(),
+            d_model=1024, n_layers=24, n_heads=16, ffn_dim=4096,
+        )
+
+    @staticmethod
     def from_upstream_name(name: str) -> "HubertConfig":
         """Map an s3prl / reference `audio_encoder.name` to a tower config.
 
@@ -190,13 +229,24 @@ class HubertConfig:
         them when this raises.
         """
         n = name.lower()
+        if "wavlm" in n:
+            return (
+                HubertConfig.wavlm_large() if "large" in n
+                else HubertConfig.wavlm_base()
+            )
+        if "data2vec" in n:
+            return (
+                HubertConfig.data2vec_large() if "large" in n
+                else HubertConfig.data2vec_base()
+            )
         if "hubert" in n or "wav2vec2" in n or "wav2vec" in n:
             return (
                 HubertConfig.large() if "large" in n else HubertConfig.base()
             )
         raise NotImplementedError(
-            f"audio_encoder.name={name!r} is not a wav2vec2/HuBERT-family "
-            "upstream (hubert_base, hubert_large_ll60k, wav2vec2_base, ...); "
+            f"audio_encoder.name={name!r} is not a wav2vec2-architecture "
+            "upstream (hubert_base, hubert_large_ll60k, wav2vec2_base, "
+            "wavlm_base[_plus], wavlm_large, data2vec, data2vec_large, ...); "
             "mel-input upstreams resolve via MelUpstreamConfig "
             "(models/mel_upstreams.py)"
         )
@@ -580,6 +630,10 @@ class PositionalConvEmbedding(nn.Module):
     The weight-normalized torch parameterization (weight_g/weight_v) is
     materialized to a single kernel at import time (the tower is frozen, so
     the reparameterization has no training effect).
+
+    `cfg.pos_conv_depth > 1` selects the data2vec-audio stacked variant:
+    depth x [grouped conv -> non-affine LayerNorm -> GELU] (HF
+    Data2VecAudioPositionalConvEmbedding semantics).
     """
 
     cfg: HubertConfig
@@ -587,6 +641,27 @@ class PositionalConvEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.cfg.conv_pos
+        depth = int(getattr(self.cfg, "pos_conv_depth", 1) or 1)
+        if depth > 1:
+            for j in range(depth):
+                x = nn.Conv(
+                    features=self.cfg.d_model,
+                    kernel_size=(k,),
+                    padding=[(k // 2, k // 2)],
+                    feature_group_count=self.cfg.conv_pos_groups,
+                    use_bias=True,
+                    dtype=self.cfg.dtype,
+                    name=f"conv_{j}",
+                )(x)
+                if k % 2 == 0:
+                    x = x[:, :-1, :]
+                # parameter-free LayerNorm over channels
+                xf = x.astype(jnp.float32)
+                mean = xf.mean(axis=-1, keepdims=True)
+                var = xf.var(axis=-1, keepdims=True)
+                x = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+                x = fast_gelu(x)
+            return x
         out = nn.Conv(
             features=self.cfg.d_model,
             kernel_size=(k,),
@@ -601,6 +676,32 @@ class PositionalConvEmbedding(nn.Module):
         return fast_gelu(out)
 
 
+def relative_position_buckets(
+    t: int, num_buckets: int, max_distance: int
+) -> jnp.ndarray:
+    """WavLM/T5 bucketed relative positions for a (T, T) self-attention.
+
+    Mirrors HF `WavLMAttention._relative_positions_bucket`: sign selects
+    the bucket half; small |distances| map 1:1, large ones log-spaced up to
+    `max_distance`. Static-shape, computed once per forward.
+    """
+    ctx = jnp.arange(t)[:, None]
+    mem = jnp.arange(t)[None, :]
+    rel = mem - ctx                                   # (T, T)
+    num = num_buckets // 2
+    buckets = (rel > 0).astype(jnp.int32) * num
+    ad = jnp.abs(rel)
+    max_exact = num // 2
+    is_small = ad < max_exact
+    large = max_exact + (
+        jnp.log(jnp.maximum(ad, 1).astype(jnp.float32) / max_exact)
+        / jnp.log(jnp.float32(max_distance / max_exact))
+        * (num - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, num - 1)
+    return buckets + jnp.where(is_small, ad, large)
+
+
 class _ScanHubertLayer(nn.Module):
     """scan body: (carry, per-layer keep, broadcast bias) ->
     (new carry, per-layer output). `keep` implements LayerDrop as identity."""
@@ -609,9 +710,10 @@ class _ScanHubertLayer(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, carry, keep, key_padding_bias):
+    def __call__(self, carry, keep, key_padding_bias, position_bias):
         y = HubertEncoderLayer(self.cfg, name="layer")(
-            carry, key_padding_bias, deterministic=self.deterministic
+            carry, key_padding_bias, deterministic=self.deterministic,
+            position_bias=position_bias,
         )
         y = jnp.where(keep, y, carry)
         return y, y
@@ -631,10 +733,11 @@ class _ScanHubertLayerFused(nn.Module):
     stop_contrib_gradient: bool = False
 
     @nn.compact
-    def __call__(self, carry, w_i, keep, key_padding_bias):
+    def __call__(self, carry, w_i, keep, key_padding_bias, position_bias):
         x, acc = carry
         y = HubertEncoderLayer(self.cfg, name="layer")(
-            x, key_padding_bias, deterministic=self.deterministic
+            x, key_padding_bias, deterministic=self.deterministic,
+            position_bias=position_bias,
         )
         y = jnp.where(keep, y, x)  # LayerDrop: dropped layer = identity
         contrib = y.astype(jnp.float32)
@@ -660,12 +763,50 @@ class HubertEncoderLayer(nn.Module):
         x: jnp.ndarray,
         key_padding_bias: Optional[jnp.ndarray],
         deterministic: bool = True,
+        position_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c = self.cfg
         dh = c.d_model // c.n_heads
 
+        def gated_position_bias(h):
+            """WavLM per-layer gate on the shared relative-position bias
+            (HF WavLMAttention: gate from the PRE-projection hidden states,
+            per head and query position)."""
+            B, T, D = h.shape
+            H = c.n_heads
+            gh = h.reshape(B, T, H, dh).transpose(0, 2, 1, 3)  # (B,H,T,dh)
+            proj = nn.Dense(8, dtype=c.dtype, name="gru_rel_pos_linear")(gh)
+            proj = proj.astype(jnp.float32).reshape(B, H, T, 2, 4).sum(-1)
+            gate_a, gate_b = jnp.split(jax.nn.sigmoid(proj), 2, axis=-1)
+            const = self.param(
+                "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1)
+            ).astype(jnp.float32)
+            gate = gate_a * (gate_b * const - 1.0) + 2.0      # (B,H,T,1)
+            return gate * position_bias[None].astype(jnp.float32)
+
         def attn(h):
             B, T, D = h.shape
+            if position_bias is not None:
+                # WavLM path: full (B,H,T,T) additive bias -> XLA attention
+                # (the fused block kernel only supports key-padding bias)
+                bias = gated_position_bias(h)
+                if key_padding_bias is not None:
+                    bias = bias + key_padding_bias
+                q = nn.Dense(D, dtype=c.dtype, name="q_proj")(h)
+                kk = nn.Dense(D, dtype=c.dtype, name="k_proj")(h)
+                v = nn.Dense(D, dtype=c.dtype, name="v_proj")(h)
+                split = lambda a: a.reshape(B, T, c.n_heads, dh).transpose(
+                    0, 2, 1, 3)
+                out = dot_product_attention(
+                    split(q), split(kk), split(v), bias=bias,
+                    dropout_rate=c.attention_dropout,
+                    dropout_rng=self.make_rng("dropout")
+                    if (c.attention_dropout > 0 and not deterministic)
+                    else None,
+                    deterministic=deterministic,
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+                return nn.Dense(D, dtype=c.dtype, name="out_proj")(out)
             if getattr(c, "fused_attention_block", False):
                 from ..nn.fused_attention_block import fused_attention_block
 
@@ -810,6 +951,23 @@ class HubertModel(nn.Module):
                 feat_padding_mask[:, None, None, :], -1e30, 0.0
             ).astype(jnp.float32)
 
+        # WavLM: ONE bucketed relative-position bias table for the whole
+        # stack (HF keeps it in layer 0; a scanned homogeneous stack hoists
+        # it to the model), gated per layer inside HubertEncoderLayer
+        position_bias = None
+        if getattr(c, "rel_pos_bias", False):
+            rel_embed = self.param(
+                "rel_attn_embed",
+                nn.initializers.normal(stddev=0.02),
+                (c.rel_buckets, c.n_heads),
+            )
+            buckets = relative_position_buckets(
+                x.shape[1], c.rel_buckets, c.rel_max_distance
+            )
+            position_bias = jnp.take(
+                rel_embed, buckets.reshape(-1), axis=0
+            ).reshape(x.shape[1], x.shape[1], c.n_heads).transpose(2, 0, 1)
+
         # LayerDrop keep mask: one bernoulli per layer per forward (fairseq
         # drops whole layers batch-wide; reference speech_encoder_plus.py:407)
         if c.layer_drop > 0.0 and not deterministic:
@@ -837,11 +995,12 @@ class HubertModel(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, 0, nn.broadcast),
+                in_axes=(0, 0, nn.broadcast, nn.broadcast),
                 length=c.n_layers,
             )(c, deterministic, normalize_contrib, stop_contrib_gradient,
               name="layers")
-            (x_final, acc), _ = scanned((x, acc), w[1:], keep, key_padding_bias)
+            (x_final, acc), _ = scanned((x, acc), w[1:], keep,
+                                        key_padding_bias, position_bias)
             return {
                 "x": x_final,
                 "weighted_sum": acc,
@@ -855,17 +1014,19 @@ class HubertModel(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast),
+                in_axes=(0, nn.broadcast, nn.broadcast),
                 length=c.n_layers,
             )(c, deterministic, name="layers")
-            x_final, layer_outs = scanned(x, keep, key_padding_bias)
+            x_final, layer_outs = scanned(x, keep, key_padding_bias,
+                                          position_bias)
             hidden_states = jnp.concatenate([x[None], layer_outs], axis=0)
             x = x_final
         else:
             hidden = [x]
             for i in range(c.n_layers):
                 y = HubertEncoderLayer(c, name=f"layers_{i}")(
-                    x, key_padding_bias, deterministic=deterministic
+                    x, key_padding_bias, deterministic=deterministic,
+                    position_bias=position_bias,
                 )
                 x = jnp.where(keep[i], y, x)
                 hidden.append(x)

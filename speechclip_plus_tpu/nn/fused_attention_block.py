@@ -58,52 +58,85 @@ _NEG_INF = -1e30
 # VMEM guard: weights resident + double-buffered x/out blocks + qkv/context
 # scratch + two fp32 score tiles. Past this, fall back to the XLA path
 # rather than fail Mosaic allocation.
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _vmem_estimate(b: int, t: int, d: int, dh: int) -> int:
-    io = 2 * (2 * t * d * 2)          # x + out blocks, bf16, double-buffered
-    weights = (d * 3 * d + d * d) * 2  # Wqkv + Wo, bf16, resident
-    biases = (3 * d + d + b * t) * 4   # bqkv + bo + key bias, fp32
-    qkv = t * 3 * d * 4                # fp32 qkv value buffer
-    ctx = t * d * 4                    # fp32 context accumulation
+def _vmem_estimate(b: int, t: int, d: int, dh: int, groups: int) -> int:
+    """Rough per-grid-step VMEM bound at `groups` head-groups.
+
+    groups == 1 fuses the out-projection in-kernel (Wo resident);
+    groups > 1 runs grid (G, B) with per-group (D, 3*D/G) weight blocks
+    and leaves the out-projection to XLA.
+    """
+    dg = d // groups
+    io = 2 * (2 * t * d * 2 + 2 * t * dg * 2)  # x in + ctx/out out, dbl-buf
+    weights = d * 3 * dg * 2                   # Wqkv group block, bf16
+    if groups == 1:
+        weights += d * d * 2                   # + Wo resident
+    biases = (3 * dg + d + b * t) * 4          # bqkv + bo + key bias, fp32
+    qkv = t * 3 * dg * 4                       # fp32 qkv value buffer
+    ctx = t * dg * 4                           # fp32 context accumulation
     tp_lane = _round_up(t, 128)
-    scores = 2 * t * tp_lane * 4       # score + prob tiles, fp32, one head
+    scores = 2 * t * tp_lane * 4               # score + prob tiles, one head
     return io + weights + biases + qkv + ctx + scores
+
+
+def _pick_groups(b: int, t: int, d: int, dh: int, n_heads: int):
+    """Smallest head-group count whose working set fits VMEM (None = no
+    fit -> XLA fallback). Grid order (G, B) keeps each group's weight
+    block resident across the whole batch, so weights are re-fetched only
+    G times per layer."""
+    g = 1
+    while g <= n_heads:
+        # g > 1 writes (1, T, D/G) output blocks at lane offset g*D/G,
+        # which must stay lane-tile (128) aligned on TPU
+        if n_heads % g == 0 and (g == 1 or (d // g) % 128 == 0):
+            if _vmem_estimate(b, t, d, dh, g) <= _VMEM_BUDGET_BYTES:
+                return g
+        g *= 2
+    return None
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref,
-            o_ref, *, n_heads: int, keep_thresh: Optional[int],
-            inv_keep: float):
-    """Grid step = one batch element; block (1, T, D)."""
+def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
+            heads_per_group: int, keep_thresh: Optional[int],
+            inv_keep: float, wo_ref=None, bo_ref=None):
+    """Grid step = (head-group g, batch element b); x block (1, T, D),
+    weight block (D, 3*Dg) for the group's [q|k|v] columns, output block
+    (1, T, Dg) at lane offset g*Dg (the whole (T, D) row when G == 1,
+    where the out-projection is fused in-kernel too)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    fuse_out_proj = wo_ref is not None
+
+    g_id = pl.program_id(0)
+    b_id = pl.program_id(1)
     if keep_thresh is not None:
-        # independent stream per batch element; the generator state advances
-        # across prng_random_bits calls within one program
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # independent stream per (group, batch element); the generator
+        # state advances across prng_random_bits calls within one program
+        pltpu.prng_seed(seed_ref[0] + g_id * pl.num_programs(1) + b_id)
 
     x = x_ref[0]                                     # (T, D) bf16
     t, d = x.shape
-    dh = d // n_heads
-    bias_row = bias_ref[pl.program_id(0)].astype(jnp.float32)  # (T,)
+    dg = wqkv_ref.shape[1] // 3                      # group width
+    dh = dg // heads_per_group
+    bias_row = bias_ref[b_id].astype(jnp.float32)    # (T,)
 
     qkv = jax.lax.dot_general(
         x, wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]                                  # (T, 3D) fp32
+    ) + bqkv_ref[g_id]                               # (T, 3*Dg) fp32
     qkv = qkv.astype(x.dtype)
 
     ctx = []
-    for h in range(n_heads):
+    for h in range(heads_per_group):
         qh = qkv[:, h * dh:(h + 1) * dh]             # (T, dh) — q pre-scaled
-        kh = qkv[:, d + h * dh:d + (h + 1) * dh]
-        vh = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        kh = qkv[:, dg + h * dh:dg + (h + 1) * dh]
+        vh = qkv[:, 2 * dg + h * dh:2 * dg + (h + 1) * dh]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -121,41 +154,73 @@ def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype))                           # (T, dh)
 
-    context = jnp.concatenate(ctx, axis=-1)          # (T, D)
-    out = jax.lax.dot_general(
-        context, wo_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0]
-    o_ref[0] = out.astype(o_ref.dtype)
+    context = jnp.concatenate(ctx, axis=-1)          # (T, Dg)
+    if fuse_out_proj:
+        out = jax.lax.dot_general(
+            context, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[0]
+        o_ref[0] = out.astype(o_ref.dtype)
+    else:
+        o_ref[0] = context
 
 
-def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, n_heads, keep_thresh,
-                inv_keep, interpret):
+def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
+                keep_thresh, inv_keep, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, d = x.shape
-    kernel = functools.partial(
-        _kernel, n_heads=n_heads, keep_thresh=keep_thresh, inv_keep=inv_keep
-    )
+    dg = d // groups
+    fuse_out = groups == 1
     vmem = pltpu.VMEM
-    const = lambda i, *_: (0, 0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, t, d), lambda i, *_: (i, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((d, 3 * d), const, memory_space=vmem),
-            pl.BlockSpec((1, 3 * d), const, memory_space=vmem),
+    const = lambda g, i, *_: (0, 0)
+
+    if fuse_out:
+        def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                   bias_ref, o_ref):
+            _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref,
+                    heads_per_group=heads_per_group, keep_thresh=keep_thresh,
+                    inv_keep=inv_keep, wo_ref=wo_ref, bo_ref=bo_ref)
+
+        extra_specs = [
             pl.BlockSpec((d, d), const, memory_space=vmem),
             pl.BlockSpec((1, d), const, memory_space=vmem),
+        ]
+        extra_inputs = (wo, bo)
+    else:
+        # out-projection stays in XLA: keeping Wo resident alongside the
+        # group weight block would break the VMEM budget exactly in the
+        # configs that need grouping (D >= 1024)
+        def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref):
+            _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref,
+                    heads_per_group=heads_per_group, keep_thresh=keep_thresh,
+                    inv_keep=inv_keep)
+
+        extra_specs = []
+        extra_inputs = ()
+
+    # grid (G, B): batch iterates innermost, so each group's weight block
+    # stays resident across the whole batch (G weight fetches per layer)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(groups, b),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda g, i, *_: (i, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((d, 3 * dg), lambda g, i, *_: (0, g),
+                         memory_space=vmem),
+            # all G bias rows ride as one resident (G, 3*Dg) block (~12 KB;
+            # a (1, 3*Dg) block would trip Mosaic's second-minor rule);
+            # the kernel reads its group's row
+            pl.BlockSpec((groups, 3 * dg), const, memory_space=vmem),
+        ] + extra_specs + [
             # key bias as ONE full-array (B, T) block (a (1, T) block trips
             # Mosaic's second-minor-divisible-by-8 rule); each program reads
             # its own row
             pl.BlockSpec((b, t), const, memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, t, dg), lambda g, i, *_: (i, 0, g),
                                memory_space=vmem),
     )
     return pl.pallas_call(
@@ -163,26 +228,27 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, n_heads, keep_thresh,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         interpret=interpret,
-    )(seed, x, wqkv, bqkv, wo, bo, bias)
+    )(seed, x, wqkv, bqkv, *extra_inputs, bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, seed, n_heads, keep_thresh,
-                  inv_keep, interpret):
-    return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, n_heads,
-                       keep_thresh, inv_keep, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
+                  groups, keep_thresh, inv_keep, interpret):
+    return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
+                       groups, keep_thresh, inv_keep, interpret)
 
 
-def _fused_fwd(x, wqkv, bqkv, wo, bo, bias, seed, n_heads, keep_thresh,
-               inv_keep, interpret):
+def _fused_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
+               keep_thresh, inv_keep, interpret):
     return (
-        _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, n_heads, keep_thresh,
-                    inv_keep, interpret),
+        _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
+                    groups, keep_thresh, inv_keep, interpret),
         None,
     )
 
 
-def _fused_bwd(n_heads, keep_thresh, inv_keep, interpret, res, g):
+def _fused_bwd(heads_per_group, groups, keep_thresh, inv_keep, interpret,
+               res, g):
     raise NotImplementedError(
         "fused_attention_block is forward-only (frozen-tower path); "
         "use the XLA attention path for trainable towers"
@@ -238,9 +304,8 @@ def fused_attention_block(
     scale = 1.0 / float(dh) ** 0.5
 
     on_tpu = jax.default_backend() == "tpu"
-    if (not on_tpu and not interpret) or (
-        _vmem_estimate(b, t, d, dh) > _VMEM_BUDGET_BYTES
-    ):
+    groups = _pick_groups(b, t, d, dh, n_heads)
+    if (not on_tpu and not interpret) or groups is None:
         from .attention import dot_product_attention
 
         xc = x.astype(dtype)
@@ -261,13 +326,20 @@ def fused_attention_block(
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return out @ wo.astype(dtype) + bo.astype(dtype)
 
-    # fold the 1/sqrt(dh) q-scale into Wq/bq (free, trace-time)
-    wqkv = jnp.concatenate(
-        [wq * scale, wk, wv], axis=1
-    ).astype(dtype)                                     # (D, 3D)
-    bqkv = jnp.concatenate(
-        [bq * scale, bk, bv]
-    ).astype(jnp.float32)[None, :]                      # (1, 3D)
+    # fold the 1/sqrt(dh) q-scale into Wq/bq (free, trace-time). Columns
+    # are laid out HEAD-GROUP-MAJOR: group g's block is [q_g | k_g | v_g]
+    # of width 3*D/G, so the per-group kernel reads one contiguous
+    # (D, 3*Dg) weight block (resident across the batch at grid (G, B)).
+    dg = d // groups
+    wq_s, bq_s = wq * scale, bq * scale
+    w_parts, b_parts = [], []
+    for g in range(groups):
+        sl = slice(g * dg, (g + 1) * dg)
+        w_parts += [wq_s[:, sl], wk[:, sl], wv[:, sl]]
+        b_parts += [bq_s[sl], bk[sl], bv[sl]]
+    wqkv = jnp.concatenate(w_parts, axis=1).astype(dtype)   # (D, 3D)
+    bqkv = jnp.concatenate(b_parts).astype(jnp.float32)
+    bqkv = bqkv.reshape(groups, 3 * dg)                     # (G, 3*Dg) rows
     wo_c = wo.astype(dtype)
     bo_c = bo.astype(jnp.float32)[None, :]
 
@@ -299,6 +371,17 @@ def fused_attention_block(
         keep_thresh, inv_keep = None, 1.0
         seed = jnp.zeros((1,), jnp.int32)
 
-    out = _fused_nograd(xc, wqkv, bqkv, wo_c, bo_c, bias, seed, n_heads,
-                        keep_thresh, inv_keep, interpret)
-    return out[:, :t, :] if pad_t else out
+    out = _fused_nograd(xc, wqkv, bqkv, wo_c, bo_c, bias, seed,
+                        n_heads // groups, groups, keep_thresh, inv_keep,
+                        interpret)
+    if pad_t:
+        out = out[:, :t, :]
+    if groups > 1:
+        # per-head context came back in (B, T, D) head order; the
+        # out-projection runs in XLA (full-rate plain matmul) — fusing it
+        # would keep Wo resident on top of the group weight block, past
+        # VMEM exactly for the D >= 1024 configs that need grouping.
+        # (No stop_gradient: accidental differentiation must keep hitting
+        # the erroring custom_vjp, not silently zero the x-cotangent.)
+        out = out @ wo_c + bo.astype(dtype)
+    return out

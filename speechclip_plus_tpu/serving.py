@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from .api import SpeechCLIP, _pad_wavs, _wav_to_f32
 from .models.kwclip import KWClip
 
-__all__ = ["RetrievalIndex", "SpeechRetriever", "build_image_index"]
+__all__ = [
+    "RetrievalIndex",
+    "SpeechRetriever",
+    "PendingSearch",
+    "build_image_index",
+]
 
 
 def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -172,9 +177,64 @@ class SpeechRetriever:
         bytes and are scaled by 1/32768 on device — bit-identical to
         feeding `wav.astype(np.float32) / 32768`.
         """
+        return self.submit(wavs, k).result()
+
+    def submit(self, wavs: Sequence[np.ndarray], k: int = 10) -> "PendingSearch":
+        """Asynchronously dispatch a query batch; returns a PendingSearch.
+
+        The H2D transfer starts immediately (async `device_put`) and the
+        jitted query is enqueued behind it — neither blocks the host, so a
+        caller that submits batch i+1 while batch i computes overlaps
+        i+1's upload (the dominant cost through a network-attached chip,
+        PERF.md §5) with i's compute. `search_stream` packages that
+        double-buffering; `result()` blocks for the final top-k fetch.
+        """
         k = min(int(k), len(self.index))
         w, l = _pad_wavs(wavs)
+        # async H2D: returns immediately with the transfer in flight; the
+        # dispatch below enqueues against the incoming buffer
+        w = jax.device_put(w)
+        l = jax.device_put(l)
         scores, idx = self._query(
             self.sc.variables, w, l, self.index.feats, k=k
         )
-        return self.index.ids[np.asarray(idx)], np.asarray(scores)
+        return PendingSearch(self.index, scores, idx)
+
+    def search_stream(
+        self, batches, k: int = 10, depth: int = 2
+    ):
+        """Pipelined bulk retrieval: yields (ids, scores) per input batch,
+        in order, keeping up to `depth` query batches in flight so uploads
+        overlap compute (double-buffering at depth=2)."""
+        from collections import deque
+
+        pending: deque = deque()
+        for wavs in batches:
+            pending.append(self.submit(wavs, k))
+            if len(pending) > depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
+class PendingSearch:
+    """Handle for an in-flight retrieval query (async submit/poll surface)."""
+
+    def __init__(self, index: RetrievalIndex, scores, idx):
+        self._index = index
+        self._scores = scores
+        self._idx = idx
+
+    def done(self) -> bool:
+        """Non-blocking completion poll."""
+        try:
+            return self._idx.is_ready()
+        except AttributeError:  # older jax Array without is_ready
+            return True
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Block until the query finishes; returns (ids, scores)."""
+        return (
+            self._index.ids[np.asarray(self._idx)],
+            np.asarray(self._scores),
+        )

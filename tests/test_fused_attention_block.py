@@ -148,3 +148,32 @@ def test_hubert_layer_parity_with_fused_block():
     out = fused_layer.apply(variables, x, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_head_grouped_variant_matches(monkeypatch):
+    """Force groups=2 (the D>=1024 / HuBERT-Large regime) by shrinking the
+    VMEM budget: group-major weight layout + XLA out-proj must match the
+    ungrouped XLA reference."""
+    import speechclip_plus_tpu.nn.fused_attention_block as fab
+
+    rng = np.random.RandomState(11)
+    B, H, D, T = 2, 4, 256, 96
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.2)
+    p = _params(rng, D)
+    lens = np.array([96, 50])
+    kpm = jnp.asarray(np.arange(T)[None, :] >= lens[:, None])
+    bias = jnp.where(kpm[:, None, None, :], -1e30, 0.0).astype(jnp.float32)
+    ref = _xla_reference(x, p, H, bias)
+
+    budget = fab._vmem_estimate(B, T, D, D // H, 1) - 1  # g=1 won't fit
+    assert fab._vmem_estimate(B, T, D, D // H, 2) < budget
+    monkeypatch.setattr(fab, "_VMEM_BUDGET_BYTES", budget)
+    assert fab._pick_groups(B, T, D, D // H, H) == 2
+
+    out = fused_attention_block(
+        x, p["wq"], p["bq"], p["wk"], p["bk"], p["wv"], p["bv"],
+        p["wo"], p["bo"], bias, n_heads=H, dtype=jnp.float32,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -146,3 +146,34 @@ def test_search_cascaded_source_and_k_clamp():
     ids, scores = retr.search([rng.randn(800).astype(np.float32)], k=99)
     assert ids.shape == (1, 4)  # k clamped to index size
     assert np.all(np.isfinite(scores))
+
+
+def test_async_submit_and_stream_match_sync_search():
+    """submit()/PendingSearch and the pipelined search_stream must return
+    exactly what the synchronous search returns, in order."""
+    sc, cfg = _speechclip()
+    rng = np.random.RandomState(7)
+    images = rng.randn(6, 32, 32, 3).astype(np.float32)
+    index = build_image_index(sc, images, ids=np.arange(6), batch_size=6)
+    retr = SpeechRetriever(sc, index, feat_src="parallel")
+
+    batches = [
+        [rng.randn(900).astype(np.float32) for _ in range(3)]
+        for _ in range(5)
+    ]
+    sync = [retr.search(b, k=4) for b in batches]
+
+    # async submit/poll
+    pend = retr.submit(batches[0], k=4)
+    assert pend.done() in (True, False)  # poll is non-blocking either way
+    ids, scores = pend.result()
+    np.testing.assert_array_equal(ids, sync[0][0])
+    np.testing.assert_allclose(scores, sync[0][1], rtol=1e-6)
+    assert pend.done() is True  # after result(), must report ready
+
+    # pipelined stream keeps 2 in flight; results come back in order
+    got = list(retr.search_stream(batches, k=4, depth=2))
+    assert len(got) == len(batches)
+    for (g_ids, g_scores), (s_ids, s_scores) in zip(got, sync):
+        np.testing.assert_array_equal(g_ids, s_ids)
+        np.testing.assert_allclose(g_scores, s_scores, rtol=1e-6)
