@@ -1,0 +1,14 @@
+#!/bin/bash
+# Train SpeechCLIP+ hybrid_plus (base, wavlm upstream) on Flickr8k.
+# Reference recipe shape: egs/speechCLIP+/model_base/*/train.sh
+set -e
+EXP_ROOT="${EXP_ROOT:-exp/hybrid_plus_base_wavlm}"
+CFG="config/speechclip_plus/base/hybrid_plus_wavlm.yaml"
+mkdir -p "$EXP_ROOT"
+python3 run_task.py TrainKWClip_GeneralTransformer \
+    --config "$CFG" \
+    --devices -1 \
+    --njobs 4 \
+    --seed 7122 \
+    --train \
+    --save_path "$EXP_ROOT" "$@"
