@@ -332,10 +332,11 @@ class KWClipConfig:
         # (nn/fused_attention_block.py) that consumes the residual stream
         # in native (B, T, D) layout — no transposes at any HBM boundary.
         # Frozen towers only (forward-only kernel). Default: ON for a
-        # frozen HuBERT tower on a single TPU device (the kernel is a
-        # pallas_call, which XLA SPMD cannot partition under a pjit mesh;
-        # multi-device steps keep the XLA path), OFF elsewhere; YAML
-        # `false` forces off, `true` asserts single-device frozen.
+        # frozen HuBERT tower on TPU. Under a multi-device mesh the
+        # kernel registers its own SPMD partitioning (batch-shard
+        # x/bias/out, replicate weights — the DP decomposition; tested on
+        # the 8-device virtual mesh), so the DP step keeps it. YAML
+        # `false` forces off.
         fused_blk = getattr(
             cfg.audio_encoder, "fused_attention_block", None
         )
@@ -351,7 +352,6 @@ class KWClipConfig:
                 fused_blk = (
                     not audio_is_trainable
                     and _jax.default_backend() == "tpu"
-                    and len(_jax.devices()) == 1
                 )
             audio_cfg = dataclasses.replace(
                 audio_cfg, fused_attention_block=bool(fused_blk)

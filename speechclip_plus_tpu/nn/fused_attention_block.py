@@ -231,9 +231,78 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
     )(seed, x, wqkv, bqkv, *extra_inputs, bias)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
+                     interpret):
+    """SPMD-partitionable wrapper: XLA cannot partition a pallas_call, so
+    under a multi-device mesh the kernel registers its own partitioning —
+    batch-shard x/bias/out, replicate weights, run the per-shard grid.
+    This is exactly the DP decomposition (the kernel's grid iterates the
+    batch), so no collectives are needed inside."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _batch_axis(sharding):
+        spec = getattr(sharding, "spec", None)
+        if not spec:
+            return None
+        return spec[0]
+
+    @custom_partitioning
+    def call(seed, x, wqkv, bqkv, wo, bo, bias):
+        return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed,
+                           heads_per_group, groups, keep_thresh, inv_keep,
+                           interpret)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        x_sh = arg_shapes[1].sharding
+        return NamedSharding(mesh, P(_batch_axis(x_sh), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axis = _batch_axis(arg_shapes[1].sharding)
+        repl = NamedSharding(mesh, P())
+        arg_shardings = (
+            repl,                                   # seed
+            NamedSharding(mesh, P(axis, None, None)),  # x
+            repl, repl, repl, repl,                 # weights/biases
+            NamedSharding(mesh, P(axis, None)),     # key bias
+        )
+        out_sharding = NamedSharding(mesh, P(axis, None, None))
+
+        def lower_fn(seed, x, wqkv, bqkv, wo, bo, bias):
+            if axis is not None and keep_thresh is not None:
+                # decorrelate the per-shard dropout streams: program_id
+                # restarts at 0 on every shard
+                seed = seed + (
+                    jax.lax.axis_index(axis).astype(jnp.int32) << 20
+                )
+            return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed,
+                               heads_per_group, groups, keep_thresh,
+                               inv_keep, interpret)
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        propagate_user_sharding=lambda sharding, shape: sharding,
+        # shardy (the default partitioner) propagates via this einsum-style
+        # rule instead of the callbacks: only the batch factor `b` is
+        # shared between x, the key bias and the output — weights are
+        # independent (replicated in our use), and nothing ties t/d so no
+        # sharding can propagate into the attention or contraction dims
+        sharding_rule="s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2 -> b t d",
+    )
+    return call
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
                   groups, keep_thresh, inv_keep, interpret):
+    if jax.device_count() > 1:
+        return _partitioned_fwd(
+            heads_per_group, groups, keep_thresh, inv_keep, interpret
+        )(seed, x, wqkv, bqkv, wo, bo, bias)
     return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
                        groups, keep_thresh, inv_keep, interpret)
 

@@ -177,3 +177,41 @@ def test_head_grouped_variant_matches(monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_spmd_partitioned_over_data_mesh():
+    """Under a multi-device mesh the kernel registers custom SPMD
+    partitioning (batch-shard x/bias/out, replicate weights) instead of
+    falling back — the DP train step keeps the kernel. 8-device CPU mesh,
+    interpret-mode kernel, parity vs the unsharded XLA reference."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    rng = np.random.RandomState(21)
+    B, H, D, T = 16, 4, 64, 96
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.2)
+    p = _params(rng, D)
+    lens = np.linspace(T // 2, T, B).astype(int)
+    kpm = jnp.asarray(np.arange(T)[None, :] >= lens[:, None])
+    bias = jnp.where(kpm[:, None, None, :], -1e30, 0.0).astype(jnp.float32)
+    ref = _xla_reference(x, p, H, bias)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+
+    @jax.jit
+    def f(x):
+        return fused_attention_block(
+            x, p["wq"], p["bq"], p["wk"], p["bk"], p["wv"], p["bv"],
+            p["wo"], p["bo"], bias, n_heads=H, dtype=jnp.float32,
+            interpret=True,
+        )
+
+    out = f(xs)
+    # output keeps the batch sharding (no implicit gather)
+    assert out.sharding.spec[0] == "data", out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
