@@ -56,9 +56,12 @@ __all__ = ["fused_attention_block"]
 
 _NEG_INF = -1e30
 # VMEM guard: weights resident + double-buffered x/out blocks + qkv/context
-# scratch + two fp32 score tiles. Past this, fall back to the XLA path
-# rather than fail Mosaic allocation.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# scratch + two fp32 score tiles. Past this, try head-grouping, then fall
+# back to the XLA path rather than fail Mosaic allocation. 14 MB is
+# load-bearing: the base config's fully-fused estimate is ~13.7 MB and
+# compiles/runs fine; a 12 MB budget silently dropped base into the
+# G=2 grouped path (+8 ms/step, caught by a back-to-back bench).
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def _vmem_estimate(b: int, t: int, d: int, dh: int, groups: int) -> int:
@@ -103,22 +106,32 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
             heads_per_group: int, keep_thresh: Optional[int],
-            inv_keep: float, wo_ref=None, bo_ref=None):
+            inv_keep: float, wo_ref=None, bo_ref=None,
+            grid_1d: bool = False):
     """Grid step = (head-group g, batch element b); x block (1, T, D),
     weight block (D, 3*Dg) for the group's [q|k|v] columns, output block
     (1, T, Dg) at lane offset g*Dg (the whole (T, D) row when G == 1,
-    where the out-projection is fused in-kernel too)."""
+    where the out-projection is fused in-kernel too).
+
+    `grid_1d`: G == 1 runs a plain (B,) grid — measured ~8 ms/step faster
+    at base shapes than the equivalent (1, B) grid (Mosaic schedules the
+    two forms differently); the 2-D grid exists only for real grouping."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     fuse_out_proj = wo_ref is not None
 
-    g_id = pl.program_id(0)
-    b_id = pl.program_id(1)
+    if grid_1d:
+        g_id = 0
+        b_id = pl.program_id(0)
+    else:
+        g_id = pl.program_id(0)
+        b_id = pl.program_id(1)
     if keep_thresh is not None:
         # independent stream per (group, batch element); the generator
         # state advances across prng_random_bits calls within one program
-        pltpu.prng_seed(seed_ref[0] + g_id * pl.num_programs(1) + b_id)
+        n_b = pl.num_programs(0) if grid_1d else pl.num_programs(1)
+        pltpu.prng_seed(seed_ref[0] + g_id * n_b + b_id)
 
     x = x_ref[0]                                     # (T, D) bf16
     t, d = x.shape
@@ -174,14 +187,15 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
     dg = d // groups
     fuse_out = groups == 1
     vmem = pltpu.VMEM
-    const = lambda g, i, *_: (0, 0)
+    const = lambda *_: (0, 0)
 
     if fuse_out:
         def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                    bias_ref, o_ref):
             _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref,
                     heads_per_group=heads_per_group, keep_thresh=keep_thresh,
-                    inv_keep=inv_keep, wo_ref=wo_ref, bo_ref=bo_ref)
+                    inv_keep=inv_keep, wo_ref=wo_ref, bo_ref=bo_ref,
+                    grid_1d=True)
 
         extra_specs = [
             pl.BlockSpec((d, d), const, memory_space=vmem),
@@ -200,16 +214,27 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
         extra_specs = []
         extra_inputs = ()
 
-    # grid (G, B): batch iterates innermost, so each group's weight block
-    # stays resident across the whole batch (G weight fetches per layer)
+    # G == 1: plain (B,) grid — ~8 ms/step faster at base shapes than the
+    # equivalent (1, B) grid (measured back-to-back; Mosaic schedules the
+    # two forms differently). G > 1: grid (G, B) with batch innermost, so
+    # each group's weight block stays resident across the whole batch
+    # (G weight fetches per layer).
+    if fuse_out:
+        grid = (b,)
+        x_map = lambda i, *_: (i, 0, 0)
+        w_map = lambda i, *_: (0, 0)
+        o_map = lambda i, *_: (i, 0, 0)
+    else:
+        grid = (groups, b)
+        x_map = lambda g, i, *_: (i, 0, 0)
+        w_map = lambda g, i, *_: (0, g)
+        o_map = lambda g, i, *_: (i, 0, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(groups, b),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda g, i, *_: (i, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((d, 3 * dg), lambda g, i, *_: (0, g),
-                         memory_space=vmem),
+            pl.BlockSpec((1, t, d), x_map, memory_space=vmem),
+            pl.BlockSpec((d, 3 * dg), w_map, memory_space=vmem),
             # all G bias rows ride as one resident (G, 3*Dg) block (~12 KB;
             # a (1, 3*Dg) block would trip Mosaic's second-minor rule);
             # the kernel reads its group's row
@@ -220,8 +245,7 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
             # its own row
             pl.BlockSpec((b, t), const, memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec((1, t, dg), lambda g, i, *_: (i, 0, g),
-                               memory_space=vmem),
+        out_specs=pl.BlockSpec((1, t, dg), o_map, memory_space=vmem),
     )
     return pl.pallas_call(
         kernel,
