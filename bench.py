@@ -105,6 +105,12 @@ def _product_path_setup():
         cfg.audio_encoder.fused_attention_block = (
             os.environ["BENCH_FUSED_BLOCK"] == "1"
         )
+    if os.environ.get("BENCH_CLIP_FUSED_BLOCK"):
+        # A/B the fused block kernel on the frozen ViT (vision tower only;
+        # auto-on for frozen image towers on TPU)
+        cfg.clip.fused_attention_block = (
+            os.environ["BENCH_CLIP_FUSED_BLOCK"] == "1"
+        )
     if os.environ.get("BENCH_FUSED_QKV"):
         # A/B the trace-time QKV kernel concat (bitwise-identical; default
         # OFF — measured 221.3 vs 218.5 ms on v5e, see HubertConfig)

@@ -43,6 +43,9 @@ KNOBS = {
     "fused_attention_block": (
         lambda cfg, v: setattr(
             cfg.audio_encoder, "fused_attention_block", bool(v)), int),
+    "clip_fused_block": (
+        lambda cfg, v: setattr(
+            cfg.clip, "fused_attention_block", bool(v)), int),
     "fused_st": (
         lambda cfg, v: setattr(
             cfg.model_settings.cascaded_branch.vq.args, "fused_st", bool(v)),

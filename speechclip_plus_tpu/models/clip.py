@@ -55,6 +55,12 @@ class ClipConfig:
     # (param tree: transformer/blocks/block/... with a leading layer axis)
     scan_layers: bool = True
     remat: bool = False
+    # fused QKV->attention->out-proj Pallas kernel for the VISION tower
+    # (nn/fused_attention_block.py): forward-only, so legal exactly for
+    # the frozen ViT (the text tower needs input gradients for the
+    # cascaded branch and keeps the XLA path). Enabled by
+    # KWClipConfig.from_config on TPU when the image encoder is frozen.
+    fused_attention_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -95,19 +101,67 @@ class ClipConfig:
         return ClipConfig(**defaults)
 
 
+class _RawDense(nn.Module):
+    """kernel/bias pair shaped like nn.Dense (same init, same tree)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_features, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+class _AttnParams(nn.Module):
+    """in_proj/out_proj params with MultiheadAttention's exact tree
+    (attn/in_proj/{kernel,bias}, attn/out_proj/{kernel,bias}) — the
+    fused-kernel path owns checkpoint-identical parameters."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        w3, b3 = _RawDense(self.d_model, 3 * self.d_model, name="in_proj")()
+        wo, bo = _RawDense(self.d_model, self.d_model, name="out_proj")()
+        return w3, b3, wo, bo
+
+
 class ResidualAttentionBlock(nn.Module):
-    """CLIP pre-norm transformer block (attn + quick-GELU MLP)."""
+    """CLIP pre-norm transformer block (attn + quick-GELU MLP).
+
+    `fused_attention` routes the (bias-free, forward-only) attention
+    through the fused block kernel — vision tower only; the parameter
+    tree is identical to the MultiheadAttention path."""
 
     d_model: int
     n_head: int
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
-        x = x + MultiheadAttention(
-            self.d_model, self.n_head, dtype=self.dtype, name="attn"
-        )(h, h, h, attn_mask=attn_bias)
+        if self.fused_attention:
+            from ..nn.fused_attention_block import fused_attention_block
+
+            d = self.d_model
+            w3, b3, wo, bo = _AttnParams(d, name="attn")()
+            attn_out = fused_attention_block(
+                h, w3[:, :d], b3[:d], w3[:, d:2 * d], b3[d:2 * d],
+                w3[:, 2 * d:], b3[2 * d:], wo, bo, None,
+                n_heads=self.n_head, deterministic=True, dtype=self.dtype,
+            )
+            x = x + attn_out
+        else:
+            x = x + MultiheadAttention(
+                self.d_model, self.n_head, dtype=self.dtype, name="attn"
+            )(h, h, h, attn_mask=attn_bias)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
@@ -118,12 +172,14 @@ class ResidualAttentionBlock(nn.Module):
 class _ScanBlock(nn.Module):
     width: int
     heads: int
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, attn_bias):
         y = ResidualAttentionBlock(
-            self.width, self.heads, dtype=self.dtype, name="block"
+            self.width, self.heads, fused_attention=self.fused_attention,
+            dtype=self.dtype, name="block"
         )(carry, attn_bias)
         return y, None
 
@@ -134,6 +190,7 @@ class Transformer(nn.Module):
     heads: int
     scan_layers: bool = True
     remat: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -148,14 +205,17 @@ class Transformer(nn.Module):
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=self.layers,
-            )(self.width, self.heads, dtype=self.dtype, name="blocks")
+            )(self.width, self.heads, self.fused_attention,
+              dtype=self.dtype, name="blocks")
             if attn_bias is None:
                 attn_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
             x, _ = scanned(x, attn_bias)
             return x
         for i in range(self.layers):
             x = ResidualAttentionBlock(
-                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
+                self.width, self.heads,
+                fused_attention=self.fused_attention, dtype=self.dtype,
+                name=f"resblocks_{i}"
             )(x, attn_bias)
         return x
 
@@ -195,7 +255,9 @@ class VisionTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_pre")(x)
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,
-            scan_layers=c.scan_layers, remat=c.remat, dtype=c.dtype,
+            scan_layers=c.scan_layers, remat=c.remat,
+            fused_attention=getattr(c, "fused_attention_block", False),
+            dtype=c.dtype,
             name="transformer",
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_post")(x[:, 0, :])

@@ -192,6 +192,34 @@ class KWClipConfig:
             clip_remat = True
         clip_cfg = dataclasses.replace(clip_cfg, remat=bool(clip_remat))
 
+        # optional additive key: `clip.fused_attention_block` routes the
+        # VISION tower's attention through the fused block kernel
+        # (nn/fused_attention_block.py). Legal exactly when the image
+        # encoder is frozen (forward-only kernel; the text tower needs
+        # input gradients for the cascaded branch and always keeps XLA).
+        # Auto: ON on TPU for a frozen image tower — the kernel lifted
+        # the ViT-L forward from 51% of peak in the round-4 breakdown
+        # (live-towers path only: the product default caches image
+        # embeddings and never runs the ViT in a training step).
+        clip_fused = getattr(cfg.clip, "fused_attention_block", None)
+        image_trainable = bool(
+            getattr(cfg.clip, "image_encoder_trainable", False)
+        )
+        if clip_fused and image_trainable:
+            raise ValueError(
+                "clip.fused_attention_block requires a frozen image tower "
+                "(forward-only kernel, nn/fused_attention_block.py)"
+            )
+        if clip_fused is None:
+            import jax as _jax
+
+            clip_fused = (
+                not image_trainable and _jax.default_backend() == "tpu"
+            )
+        clip_cfg = dataclasses.replace(
+            clip_cfg, fused_attention_block=bool(clip_fused)
+        )
+
         audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")
         if getattr(cfg.audio_encoder, "tiny", False):
             audio_cfg = HubertConfig.tiny(

@@ -266,3 +266,36 @@ def test_clip_remat_config_policy():
     assert KWClipConfig.from_config(base).clip.remat is True
     base.clip.remat = False
     assert KWClipConfig.from_config(base).clip.remat is False
+
+
+def test_vision_fused_attention_block_parity():
+    """The vision tower with clip.fused_attention_block produces the same
+    embeddings with an identical parameter tree (CPU exercises the XLA
+    fallback inside the wrapper; kernel math is interpret-tested in
+    test_fused_attention_block.py)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from speechclip_plus_tpu.models.clip import ClipConfig, VisionTransformer
+
+    cfg = ClipConfig.tiny()
+    model = VisionTransformer(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    ref = model.apply(variables, img)
+
+    fused = VisionTransformer(
+        dataclasses.replace(cfg, fused_attention_block=True)
+    )
+    # identical param tree: init must produce the same structure, and the
+    # baseline variables must apply directly
+    v2 = fused.init(jax.random.PRNGKey(0), img)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables
+    )
+    out = fused.apply(variables, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
