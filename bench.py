@@ -449,6 +449,12 @@ def main():
         "unit": "pairs/s/chip",
         "vs_baseline": gpu.get("vs_gpu_estimate_mfu15"),
         "baseline_kind": "analytic_gpu_equivalent_a100_bf16_mfu15",
+        # key-collision note (round-4 advisor): rounds 1-3 published
+        # vs_baseline as the measured torch-CPU forward ratio; since round 4
+        # it is the analytic GPU equivalent above. Cross-round consumers
+        # should key on vs_gpu_estimate_mfu15 / vs_torch_cpu_forward_lower_
+        # bound, which are unambiguous.
+        "vs_baseline_semantics_changed_in": "round 4",
         "vs_torch_cpu_forward_lower_bound": r(vs_torch_cpu),
         "step_ms": r(stats["step_ms"], 2),
         "achieved_tflops": r(stats["achieved_tflops"], 2),

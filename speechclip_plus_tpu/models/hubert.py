@@ -660,7 +660,11 @@ class PositionalConvEmbedding(nn.Module):
                 mean = xf.mean(axis=-1, keepdims=True)
                 var = xf.var(axis=-1, keepdims=True)
                 x = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
-                x = fast_gelu(x)
+                # exact erf GELU: HF Data2VecAudio uses it per conv layer and
+                # the tanh approximation compounds over the 5 stacked layers
+                # (round-4 advisor finding); negligible cost — this runs once
+                # per forward on a (B, T, D) activation, not in the hot stack
+                x = jax.nn.gelu(x, approximate=False)
             return x
         out = nn.Conv(
             features=self.cfg.d_model,

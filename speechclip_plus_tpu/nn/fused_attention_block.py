@@ -64,18 +64,25 @@ _NEG_INF = -1e30
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
-def _vmem_estimate(b: int, t: int, d: int, dh: int, groups: int) -> int:
+def _vmem_estimate(b: int, t: int, d: int, dh: int, groups: int,
+                   itemsize: int = 2) -> int:
     """Rough per-grid-step VMEM bound at `groups` head-groups.
 
     groups == 1 fuses the out-projection in-kernel (Wo resident);
     groups > 1 runs grid (G, B) with per-group (D, 3*D/G) weight blocks
     and leaves the out-projection to XLA.
+
+    `itemsize` is the compute dtype's byte width: the kernel runs at the
+    caller's dtype, so fp32 towers (trainer.precision: 32) double the
+    x/weight/out working set vs the bf16 default — under-estimating that
+    would let `_pick_groups` admit a config that fails Mosaic allocation
+    instead of falling back to XLA (round-4 advisor finding).
     """
     dg = d // groups
-    io = 2 * (2 * t * d * 2 + 2 * t * dg * 2)  # x in + ctx/out out, dbl-buf
-    weights = d * 3 * dg * 2                   # Wqkv group block, bf16
+    io = 2 * (2 * t * d + 2 * t * dg) * itemsize  # x in + ctx/out, dbl-buf
+    weights = d * 3 * dg * itemsize               # Wqkv group block
     if groups == 1:
-        weights += d * d * 2                   # + Wo resident
+        weights += d * d * itemsize               # + Wo resident
     biases = (3 * dg + d + b * t) * 4          # bqkv + bo + key bias, fp32
     qkv = t * 3 * dg * 4                       # fp32 qkv value buffer
     ctx = t * dg * 4                           # fp32 context accumulation
@@ -84,7 +91,8 @@ def _vmem_estimate(b: int, t: int, d: int, dh: int, groups: int) -> int:
     return io + weights + biases + qkv + ctx + scores
 
 
-def _pick_groups(b: int, t: int, d: int, dh: int, n_heads: int):
+def _pick_groups(b: int, t: int, d: int, dh: int, n_heads: int,
+                 itemsize: int = 2):
     """Smallest head-group count whose working set fits VMEM (None = no
     fit -> XLA fallback). Grid order (G, B) keeps each group's weight
     block resident across the whole batch, so weights are re-fetched only
@@ -94,7 +102,7 @@ def _pick_groups(b: int, t: int, d: int, dh: int, n_heads: int):
         # g > 1 writes (1, T, D/G) output blocks at lane offset g*D/G,
         # which must stay lane-tile (128) aligned on TPU
         if n_heads % g == 0 and (g == 1 or (d // g) % 128 == 0):
-            if _vmem_estimate(b, t, d, dh, g) <= _VMEM_BUDGET_BYTES:
+            if _vmem_estimate(b, t, d, dh, g, itemsize) <= _VMEM_BUDGET_BYTES:
                 return g
         g *= 2
     return None
@@ -397,7 +405,7 @@ def fused_attention_block(
     scale = 1.0 / float(dh) ** 0.5
 
     on_tpu = jax.default_backend() == "tpu"
-    groups = _pick_groups(b, t, d, dh, n_heads)
+    groups = _pick_groups(b, t, d, dh, n_heads, jnp.dtype(dtype).itemsize)
     if (not on_tpu and not interpret) or groups is None:
         from .attention import dot_product_attention
 

@@ -210,9 +210,11 @@ class SpeechRetriever:
 
         pending: deque = deque()
         for wavs in batches:
-            pending.append(self.submit(wavs, k))
-            if len(pending) > depth:
+            # drain before submitting so at most `depth` batches are ever
+            # in flight (submit-then-pop briefly held depth+1)
+            while len(pending) >= depth:
                 yield pending.popleft().result()
+            pending.append(self.submit(wavs, k))
         while pending:
             yield pending.popleft().result()
 
