@@ -52,6 +52,12 @@ KNOBS = {
         int),
     "frontend_chunks": (
         lambda cfg, v: setattr(cfg.audio_encoder, "frontend_chunks", v), int),
+    "fused_attention_vjp": (
+        lambda cfg, v: setattr(
+            cfg.model_settings, "fused_attention_vjp", bool(v)), int),
+    "text_fused_vjp": (
+        lambda cfg, v: setattr(
+            cfg.clip, "text_fused_attention_vjp", bool(v)), int),
 }
 
 

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--wav-len", type=int, default=102400)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--config", default=None,
+                    help="YAML path (default: base hybrid_plus)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,7 @@ def main():
     from __graft_entry__ import _make_batch
 
     repo = os.path.join(os.path.dirname(__file__), "..")
-    cfg = load_config(os.path.join(
+    cfg = load_config(args.config or os.path.join(
         repo, "config", "speechclip_plus", "base", "hybrid_plus.yaml"))
     vocab = resolve_reduced_vocab(cfg)
     model_cfg = KWClipConfig.from_config(

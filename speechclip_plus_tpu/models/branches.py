@@ -67,12 +67,17 @@ class TransformerArgs:
     # under the same fp16 autocast as the towers, `base_task.py:197`).
     # Never parsed from YAML (not part of the reference schema).
     dtype: Any = jnp.float32
+    # differentiable fused attention block kernel for the branch MHA
+    # (nn/fused_attention_block_vjp.py); set by KWClipConfig.from_config
+    # (auto-on on TPU, model_settings.fused_attention_vjp: false reverts)
+    fused_block_vjp: bool = False
 
     @staticmethod
     def from_config(node) -> "TransformerArgs":
         d = node.to_dict() if hasattr(node, "to_dict") else dict(node)
         d.pop("batch_first", None)  # always batch-first here
         d.pop("dtype", None)  # compute dtype comes from trainer.precision
+        d.pop("fused_block_vjp", None)  # set by KWClipConfig.from_config
         allowed = {f.name for f in dataclasses.fields(TransformerArgs)}
         return TransformerArgs(**{k: v for k, v in d.items() if k in allowed})
 
@@ -91,6 +96,7 @@ def make_self_att(args: TransformerArgs, dtype=None, name: str = "self_att"):
             layer_norm_eps=args.layer_norm_eps,
             norm_first=args.norm_first,
             dtype=dtype,
+            fused_block_vjp=args.fused_block_vjp,
             name=name,
         )
     if args.type == "MultiheadAttentionAndNorm":
@@ -100,6 +106,7 @@ def make_self_att(args: TransformerArgs, dtype=None, name: str = "self_att"):
             dropout=args.dropout,
             layer_norm_eps=args.layer_norm_eps,
             dtype=dtype,
+            fused_block_vjp=args.fused_block_vjp,
             name=name,
         )
     raise NotImplementedError(args.type)

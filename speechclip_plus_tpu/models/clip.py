@@ -61,6 +61,13 @@ class ClipConfig:
     # cascaded branch and keeps the XLA path). Enabled by
     # KWClipConfig.from_config on TPU when the image encoder is frozen.
     fused_attention_block: bool = False
+    # differentiable fused attention kernel for the TEXT tower
+    # (nn/fused_attention_block_vjp.py): frozen params, trainable keyword
+    # INPUTS — the backward computes dx in-kernel (weight-grad einsums are
+    # DCE'd under the frozen tower's stop_gradient). When on, the text
+    # scan runs remat-OFF: the kernel saves only per-layer inputs instead
+    # of the fp32 (B,H,77,77) probabilities that made remat win in XLA.
+    text_fused_attention_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -142,6 +149,7 @@ class ResidualAttentionBlock(nn.Module):
     d_model: int
     n_head: int
     fused_attention: bool = False
+    fused_attention_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,6 +164,25 @@ class ResidualAttentionBlock(nn.Module):
                 h, w3[:, :d], b3[:d], w3[:, d:2 * d], b3[d:2 * d],
                 w3[:, 2 * d:], b3[2 * d:], wo, bo, None,
                 n_heads=self.n_head, deterministic=True, dtype=self.dtype,
+            )
+            x = x + attn_out
+        elif self.fused_attention_vjp:
+            from ..nn.fused_attention_block_vjp import (
+                fused_attention_block_vjp,
+            )
+
+            d = self.d_model
+            ab = attn_bias
+            if ab is not None and ab.ndim == 4:
+                ab = ab[0, 0]                      # (T,T) causal / dummy
+            if ab is not None and ab.shape[-1] != x.shape[1]:
+                ab = None                          # scan's (1,1,1,1) dummy
+            w3, b3, wo, bo = _AttnParams(d, name="attn")()
+            attn_out = fused_attention_block_vjp(
+                h, w3[:, :d], b3[:d], w3[:, d:2 * d], b3[d:2 * d],
+                w3[:, 2 * d:], b3[2 * d:], wo, bo, None,
+                n_heads=self.n_head, deterministic=True, dtype=self.dtype,
+                attn_bias=ab,
             )
             x = x + attn_out
         else:
@@ -173,12 +200,14 @@ class _ScanBlock(nn.Module):
     width: int
     heads: int
     fused_attention: bool = False
+    fused_attention_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, attn_bias):
         y = ResidualAttentionBlock(
             self.width, self.heads, fused_attention=self.fused_attention,
+            fused_attention_vjp=self.fused_attention_vjp,
             dtype=self.dtype, name="block"
         )(carry, attn_bias)
         return y, None
@@ -191,6 +220,7 @@ class Transformer(nn.Module):
     scan_layers: bool = True
     remat: bool = False
     fused_attention: bool = False
+    fused_attention_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -206,6 +236,7 @@ class Transformer(nn.Module):
                 in_axes=nn.broadcast,
                 length=self.layers,
             )(self.width, self.heads, self.fused_attention,
+              self.fused_attention_vjp,
               dtype=self.dtype, name="blocks")
             if attn_bias is None:
                 attn_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
@@ -214,7 +245,9 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads,
-                fused_attention=self.fused_attention, dtype=self.dtype,
+                fused_attention=self.fused_attention,
+                fused_attention_vjp=self.fused_attention_vjp,
+                dtype=self.dtype,
                 name=f"resblocks_{i}"
             )(x, attn_bias)
         return x
@@ -284,9 +317,16 @@ class TextTransformer(nn.Module):
             nn.initializers.normal(0.01),
             (c.context_length, c.text_width),
         )
+        text_vjp = bool(getattr(c, "text_fused_attention_vjp", False))
         self.transformer = Transformer(
             c.text_width, c.text_layers, c.text_heads,
-            scan_layers=c.scan_layers, remat=c.remat, dtype=c.dtype,
+            scan_layers=c.scan_layers,
+            # the vjp kernel replaces remat's recompute-everything with
+            # save-only-layer-inputs; running both would re-run the fwd
+            # kernel inside the backward for no residual savings
+            remat=c.remat and not text_vjp,
+            fused_attention_vjp=text_vjp,
+            dtype=c.dtype,
             name="transformer",
         )
         self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_final")

@@ -220,6 +220,33 @@ class KWClipConfig:
             clip_cfg, fused_attention_block=bool(clip_fused)
         )
 
+        # optional additive key: `clip.text_fused_attention_vjp` routes the
+        # TEXT tower's attention through the differentiable fused kernel
+        # (nn/fused_attention_block_vjp.py). The cascaded branch needs
+        # input gradients through the frozen text tower; the custom_vjp
+        # computes dx in-kernel (weight grads DCE under stop_gradient) and
+        # saves only per-layer inputs, so the text scan runs remat-OFF
+        # (no second text forward in the backward). Auto: ON on TPU for a
+        # frozen text tower. YAML `false` reverts to XLA + remat.
+        text_vjp = getattr(cfg.clip, "text_fused_attention_vjp", None)
+        text_trainable = bool(
+            getattr(cfg.clip, "text_encoder_trainable", False)
+        )
+        if text_vjp and text_trainable:
+            raise ValueError(
+                "clip.text_fused_attention_vjp assumes a frozen text tower "
+                "(dx-only backward; weight grads are DCE'd)"
+            )
+        if text_vjp is None:
+            import jax as _jax
+
+            text_vjp = (
+                not text_trainable and _jax.default_backend() == "tpu"
+            )
+        clip_cfg = dataclasses.replace(
+            clip_cfg, text_fused_attention_vjp=bool(text_vjp)
+        )
+
         audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")
         if getattr(cfg.audio_encoder, "tiny", False):
             audio_cfg = HubertConfig.tiny(
@@ -478,6 +505,27 @@ class KWClipConfig:
             cascaded_ta = dataclasses.replace(cascaded_ta, dtype=jnp.bfloat16)
             parallel_ta = dataclasses.replace(parallel_ta, dtype=jnp.bfloat16)
             head = dataclasses.replace(head, dtype=jnp.bfloat16)
+
+        # optional additive key: `model_settings.fused_attention_vjp` routes
+        # the TRAINABLE branch self-attention through the differentiable
+        # fused block kernel (nn/fused_attention_block_vjp.py): full
+        # fwd+bwd gradients (custom_vjp, dropout masks regenerated
+        # in-kernel), no (B,H,T,T) HBM tensors in either pass. Round-5
+        # standalone A/B at branch shapes (B=128, T=321, p=0.1):
+        # 19.1 -> 9.5 ms (D=768), 22.3 -> 12.7 ms (D=1024), fwd+bwd incl.
+        # weight grads. Auto: ON on TPU (falls back to the XLA path
+        # off-TPU and for attention-map extraction). YAML `false` reverts.
+        fused_vjp = getattr(ms, "fused_attention_vjp", None)
+        if fused_vjp is None:
+            import jax as _jax
+
+            fused_vjp = _jax.default_backend() == "tpu"
+        cascaded_ta = dataclasses.replace(
+            cascaded_ta, fused_block_vjp=bool(fused_vjp)
+        )
+        parallel_ta = dataclasses.replace(
+            parallel_ta, fused_block_vjp=bool(fused_vjp)
+        )
 
         def _proj(name):
             node = ms.get(name, None) if hasattr(ms, "get") else None

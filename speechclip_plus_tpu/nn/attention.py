@@ -73,18 +73,42 @@ def dot_product_attention(
     return out
 
 
+class _ProjParams(nn.Module):
+    """kernel/bias pair with nn.Dense's exact tree and init (param holder:
+    both the XLA and fused-kernel paths read the same parameters)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_features, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class MultiheadAttention(nn.Module):
     """torch nn.MultiheadAttention parity (packed in_proj + out_proj).
 
     Parameter shapes (transposed to JAX (in, out) kernel convention):
       in_proj/kernel (D, 3D), in_proj/bias (3D,),
       out_proj/kernel (D, D), out_proj/bias (D,).
+
+    `fused_block_vjp` routes self-attention through the differentiable
+    fused block kernel (nn/fused_attention_block_vjp.py) — identical math,
+    full gradients, no (B,H,T,T) HBM tensors; falls back to the XLA path
+    off-TPU, for cross-attention, and for attention-map extraction.
     """
 
     d_model: int
     nhead: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_block_vjp: bool = False
 
     @nn.compact
     def __call__(
@@ -100,22 +124,54 @@ class MultiheadAttention(nn.Module):
         D, H = self.d_model, self.nhead
         assert D % H == 0
         dh = D // H
-        in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")
-        out_proj = nn.Dense(D, dtype=self.dtype, name="out_proj")
+        w3, b3 = _ProjParams(D, 3 * D, name="in_proj")()
+        wo3, bo3 = _ProjParams(D, D, name="out_proj")()
+        dt = self.dtype
 
         B, Tq, _ = query.shape
         Tk = key.shape[1]
+
+        use_fused = (
+            self.fused_block_vjp
+            and query is key and key is value
+            and not return_weights
+            and (attn_mask is None or attn_mask.ndim == 2)
+        )
+        if use_fused:
+            from .fused_attention_block_vjp import fused_attention_block_vjp
+
+            kp_bias = None
+            if key_padding_mask is not None:
+                kp_bias = jnp.where(
+                    key_padding_mask, _MASK_VALUE, 0.0
+                ).astype(jnp.float32)
+            dropout_rng = None
+            if self.dropout > 0.0 and not deterministic:
+                dropout_rng = self.make_rng("dropout")
+            return fused_attention_block_vjp(
+                query,
+                w3[:, :D], b3[:D], w3[:, D:2 * D], b3[D:2 * D],
+                w3[:, 2 * D:], b3[2 * D:], wo3, bo3,
+                kp_bias,
+                n_heads=H,
+                dropout_rate=self.dropout,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                dtype=dt,
+                attn_bias=attn_mask,
+            )
+
+        # nn.Dense-equivalent promotion: params and inputs cast to dtype
+        w3c, b3c = w3.astype(dt), b3.astype(dt)
         if query is key and key is value:
-            qkv = in_proj(query)
+            qkv = query.astype(dt) @ w3c + b3c
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            w = self.variables["params"]["in_proj"]["kernel"]
-            b = self.variables["params"]["in_proj"]["bias"]
-            wq, wk, wv = jnp.split(w, 3, axis=1)
-            bq, bk, bv = jnp.split(b, 3, axis=0)
-            q = query @ wq + bq
-            k = key @ wk + bk
-            v = value @ wv + bv
+            wq, wk, wv = jnp.split(w3c, 3, axis=1)
+            bq, bk, bv = jnp.split(b3c, 3, axis=0)
+            q = query.astype(dt) @ wq + bq
+            k = key.astype(dt) @ wk + bk
+            v = value.astype(dt) @ wv + bv
 
         def split_heads(x, T):
             return x.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
@@ -150,7 +206,7 @@ class MultiheadAttention(nn.Module):
         if return_weights:
             out, weights = out
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
-        out = out_proj(out)
+        out = out @ wo3.astype(dt) + bo3.astype(dt)
         if return_weights:
             return out, weights
         return out

@@ -115,7 +115,7 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
             heads_per_group: int, keep_thresh: Optional[int],
             inv_keep: float, wo_ref=None, bo_ref=None,
-            grid_1d: bool = False):
+            ab_ref=None, grid_1d: bool = False):
     """Grid step = (head-group g, batch element b); x block (1, T, D),
     weight block (D, 3*Dg) for the group's [q|k|v] columns, output block
     (1, T, Dg) at lane offset g*Dg (the whole (T, D) row when G == 1,
@@ -163,6 +163,10 @@ def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
             preferred_element_type=jnp.float32,
         )                                            # (T, T) fp32
         s = s + bias_row[None, :]
+        if ab_ref is not None:
+            # per-head additive attention bias (causal mask, WavLM-style
+            # relative position bias): block (hpg, T, T), this group's heads
+            s = s + ab_ref[h].astype(jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         w = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -187,23 +191,27 @@ def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
 
 
 def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
-                keep_thresh, inv_keep, interpret):
+                keep_thresh, inv_keep, interpret, attn_bias=None,
+                fuse_out=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, d = x.shape
     dg = d // groups
-    fuse_out = groups == 1
+    if fuse_out is None:
+        fuse_out = groups == 1
     vmem = pltpu.VMEM
     const = lambda *_: (0, 0)
+    has_ab = attn_bias is not None
 
     if fuse_out:
         def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                   bias_ref, o_ref):
-            _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref,
+                   bias_ref, *rest):
+            ab_ref = rest[0] if has_ab else None
+            _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, rest[-1],
                     heads_per_group=heads_per_group, keep_thresh=keep_thresh,
                     inv_keep=inv_keep, wo_ref=wo_ref, bo_ref=bo_ref,
-                    grid_1d=True)
+                    ab_ref=ab_ref, grid_1d=True)
 
         extra_specs = [
             pl.BlockSpec((d, d), const, memory_space=vmem),
@@ -214,10 +222,12 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
         # out-projection stays in XLA: keeping Wo resident alongside the
         # group weight block would break the VMEM budget exactly in the
         # configs that need grouping (D >= 1024)
-        def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref):
-            _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref,
+        def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, *rest):
+            ab_ref = rest[0] if has_ab else None
+            _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, rest[-1],
                     heads_per_group=heads_per_group, keep_thresh=keep_thresh,
-                    inv_keep=inv_keep)
+                    inv_keep=inv_keep, ab_ref=ab_ref,
+                    grid_1d=groups == 1)
 
         extra_specs = []
         extra_inputs = ()
@@ -227,16 +237,25 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
     # two forms differently). G > 1: grid (G, B) with batch innermost, so
     # each group's weight block stays resident across the whole batch
     # (G weight fetches per layer).
-    if fuse_out:
+    if groups == 1:
         grid = (b,)
         x_map = lambda i, *_: (i, 0, 0)
         w_map = lambda i, *_: (0, 0)
         o_map = lambda i, *_: (i, 0, 0)
+        ab_map = lambda i, *_: (0, 0, 0)
     else:
         grid = (groups, b)
         x_map = lambda g, i, *_: (i, 0, 0)
         w_map = lambda g, i, *_: (0, g)
         o_map = lambda g, i, *_: (i, 0, g)
+        ab_map = lambda g, i, *_: (g, 0, 0)
+    ab_specs = (
+        # per-head additive bias: this group's (hpg, T, T) block, resident
+        # across the batch (constant index within a group)
+        [pl.BlockSpec((heads_per_group, t, t), ab_map, memory_space=vmem)]
+        if has_ab else []
+    )
+    ab_inputs = (attn_bias,) if has_ab else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -252,7 +271,7 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
             # Mosaic's second-minor-divisible-by-8 rule); each program reads
             # its own row
             pl.BlockSpec((b, t), const, memory_space=vmem),
-        ],
+        ] + ab_specs,
         out_specs=pl.BlockSpec((1, t, dg), o_map, memory_space=vmem),
     )
     return pl.pallas_call(
@@ -260,12 +279,12 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         interpret=interpret,
-    )(seed, x, wqkv, bqkv, *extra_inputs, bias)
+    )(seed, x, wqkv, bqkv, *extra_inputs, bias, *ab_inputs)
 
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
-                     interpret):
+                     interpret, has_ab=False, fuse_out=None):
     """SPMD-partitionable wrapper: XLA cannot partition a pallas_call, so
     under a multi-device mesh the kernel registers its own partitioning —
     batch-shard x/bias/out, replicate weights, run the per-shard grid.
@@ -281,10 +300,11 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
         return spec[0]
 
     @custom_partitioning
-    def call(seed, x, wqkv, bqkv, wo, bo, bias):
+    def call(seed, x, wqkv, bqkv, wo, bo, bias, *ab):
         return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed,
                            heads_per_group, groups, keep_thresh, inv_keep,
-                           interpret)
+                           interpret, attn_bias=ab[0] if ab else None,
+                           fuse_out=fuse_out)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
         x_sh = arg_shapes[1].sharding
@@ -298,10 +318,10 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
             NamedSharding(mesh, P(axis, None, None)),  # x
             repl, repl, repl, repl,                 # weights/biases
             NamedSharding(mesh, P(axis, None)),     # key bias
-        )
+        ) + ((repl,) if has_ab else ())             # per-head attn bias
         out_sharding = NamedSharding(mesh, P(axis, None, None))
 
-        def lower_fn(seed, x, wqkv, bqkv, wo, bo, bias):
+        def lower_fn(seed, x, wqkv, bqkv, wo, bo, bias, *ab):
             if axis is not None and keep_thresh is not None:
                 # decorrelate the per-shard dropout streams: program_id
                 # restarts at 0 on every shard
@@ -310,7 +330,9 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
                 )
             return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed,
                                heads_per_group, groups, keep_thresh,
-                               inv_keep, interpret)
+                               inv_keep, interpret,
+                               attn_bias=ab[0] if ab else None,
+                               fuse_out=fuse_out)
 
         return mesh, lower_fn, out_sharding, arg_shardings
 
@@ -323,27 +345,35 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
         # shared between x, the key bias and the output — weights are
         # independent (replicated in our use), and nothing ties t/d so no
         # sharding can propagate into the attention or contraction dims
-        sharding_rule="s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2 -> b t d",
+        sharding_rule=(
+            "s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2, h t3 t4 -> b t d"
+            if has_ab else
+            "s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2 -> b t d"
+        ),
     )
     return call
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
-                  groups, keep_thresh, inv_keep, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, attn_bias, seed,
+                  heads_per_group, groups, keep_thresh, inv_keep, interpret):
     if jax.device_count() > 1:
+        ab = () if attn_bias is None else (attn_bias,)
         return _partitioned_fwd(
-            heads_per_group, groups, keep_thresh, inv_keep, interpret
-        )(seed, x, wqkv, bqkv, wo, bo, bias)
+            heads_per_group, groups, keep_thresh, inv_keep, interpret,
+            has_ab=attn_bias is not None,
+        )(seed, x, wqkv, bqkv, wo, bo, bias, *ab)
     return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
-                       groups, keep_thresh, inv_keep, interpret)
+                       groups, keep_thresh, inv_keep, interpret,
+                       attn_bias=attn_bias)
 
 
-def _fused_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
-               keep_thresh, inv_keep, interpret):
+def _fused_fwd(x, wqkv, bqkv, wo, bo, bias, attn_bias, seed,
+               heads_per_group, groups, keep_thresh, inv_keep, interpret):
     return (
-        _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
-                    groups, keep_thresh, inv_keep, interpret),
+        _fused_nograd(x, wqkv, bqkv, wo, bo, bias, attn_bias, seed,
+                      heads_per_group, groups, keep_thresh, inv_keep,
+                      interpret),
         None,
     )
 
@@ -352,7 +382,8 @@ def _fused_bwd(heads_per_group, groups, keep_thresh, inv_keep, interpret,
                res, g):
     raise NotImplementedError(
         "fused_attention_block is forward-only (frozen-tower path); "
-        "use the XLA attention path for trainable towers"
+        "use fused_attention_block_vjp (nn/fused_attention_block_vjp.py) "
+        "for trainable towers / trainable inputs"
     )
 
 
@@ -383,6 +414,7 @@ def fused_attention_block(
     deterministic: bool = True,
     dtype: jnp.dtype = jnp.bfloat16,
     interpret: bool = False,
+    attn_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full attention sub-block: projections + attention + output projection.
 
@@ -396,6 +428,9 @@ def fused_attention_block(
       dropout_rate: attention-probability dropout (train mode).
       dtype: compute dtype for the MXU matmuls (towers run bf16).
       interpret: run the Pallas interpreter (CPU tests).
+      attn_bias: optional per-head additive attention bias, (T, T),
+        (1, T, T) or (H, T, T), shared across the batch (causal mask,
+        WavLM-style relative position bias). Rides resident in VMEM.
 
     Falls back to the XLA path (identical math through
     `dot_product_attention`) off-TPU and beyond the VMEM budget.
@@ -419,6 +454,11 @@ def fused_attention_block(
             bias4 = key_padding_bias
             if bias4.ndim == 2:
                 bias4 = bias4[:, None, None, :]
+        if attn_bias is not None:
+            ab4 = attn_bias.reshape(
+                (1,) * (3 - attn_bias.ndim) + attn_bias.shape
+            )[None]                                  # (1, H|1, T, T)
+            bias4 = ab4 if bias4 is None else bias4 + ab4
         out = dot_product_attention(
             split(q), split(k), split(v), bias=bias4,
             dropout_rate=dropout_rate, dropout_rng=dropout_rng,
@@ -461,6 +501,16 @@ def fused_attention_block(
     if pad_t:
         xc = jnp.pad(xc, ((0, 0), (0, pad_t), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, pad_t)), constant_values=_NEG_INF)
+    ab = None
+    if attn_bias is not None:
+        ab = jnp.broadcast_to(
+            attn_bias.reshape((1,) * (3 - attn_bias.ndim) + attn_bias.shape),
+            (n_heads, t, t),
+        ).astype(jnp.float32)
+        if pad_t:
+            # padded key columns already carry -inf from the key bias; pad
+            # the per-head bias with zeros on both axes
+            ab = jnp.pad(ab, ((0, 0), (0, pad_t), (0, pad_t)))
 
     if dropout_rate > 0.0 and not deterministic:
         assert dropout_rng is not None
@@ -472,7 +522,7 @@ def fused_attention_block(
         keep_thresh, inv_keep = None, 1.0
         seed = jnp.zeros((1,), jnp.int32)
 
-    out = _fused_nograd(xc, wqkv, bqkv, wo_c, bo_c, bias, seed,
+    out = _fused_nograd(xc, wqkv, bqkv, wo_c, bo_c, bias, ab, seed,
                         n_heads // groups, groups, keep_thresh, inv_keep,
                         interpret)
     if pad_t:

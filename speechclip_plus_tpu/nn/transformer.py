@@ -42,6 +42,7 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_block_vjp: bool = False
 
     @nn.compact
     def __call__(
@@ -52,7 +53,8 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         attn = MultiheadAttention(
-            self.d_model, self.nhead, self.dropout, dtype=self.dtype, name="self_attn"
+            self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+            fused_block_vjp=self.fused_block_vjp, name="self_attn"
         )
         norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")
@@ -97,6 +99,7 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_block_vjp: bool = False
 
     def setup(self):
         self.layers = [
@@ -109,6 +112,7 @@ class TransformerEncoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 norm_first=self.norm_first,
                 dtype=self.dtype,
+                fused_block_vjp=self.fused_block_vjp,
                 name=f"layer_{i}",
             )
             for i in range(self.n_layers)
@@ -151,10 +155,12 @@ class MultiheadAttentionAndNorm(nn.Module):
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    fused_block_vjp: bool = False
 
     def setup(self):
         self.multihead_attn_layer = MultiheadAttention(
-            self.d_model, self.nhead, self.dropout, dtype=self.dtype
+            self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+            fused_block_vjp=self.fused_block_vjp,
         )
         self.attentionBlock_Norm = nn.LayerNorm(
             epsilon=self.layer_norm_eps, dtype=self.dtype
