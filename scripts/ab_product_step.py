@@ -58,6 +58,8 @@ KNOBS = {
     "text_fused_vjp": (
         lambda cfg, v: setattr(
             cfg.clip, "text_fused_attention_vjp", bool(v)), int),
+    "text_remat": (
+        lambda cfg, v: setattr(cfg.clip, "text_remat", v), str),
 }
 
 

@@ -67,7 +67,18 @@ class ClipConfig:
     # DCE'd under the frozen tower's stop_gradient). When on, the text
     # scan runs remat-OFF: the kernel saves only per-layer inputs instead
     # of the fp32 (B,H,77,77) probabilities that made remat win in XLA.
+    # Measured round 5: LOSES in-model at base (166.0 vs 158.8 ms ABA) —
+    # at T=77 attention is ~2% of the text FLOPs and the per-(layer,row)
+    # kernel grain costs more than it saves. Kept for A/B; default OFF.
     text_fused_attention_vjp: bool = False
+    # text-tower remat granularity: "full" reruns the whole layer forward
+    # in the backward (round-3/4 default; recomputes the FFN matmuls),
+    # "attn" wraps ONLY the attention sub-block in remat — the fp32
+    # (B,H,77,77) softmax residuals (the reason full remat won over
+    # no-remat) are recomputed from the tiny (B,77,W) layer input, while
+    # the FFN forward runs ONCE and saves its bf16 buffers. "none"
+    # disables remat entirely.
+    text_remat_mode: str = 'full'
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -150,6 +161,7 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
     fused_attention: bool = False
     fused_attention_vjp: bool = False
+    remat_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,6 +197,18 @@ class ResidualAttentionBlock(nn.Module):
                 attn_bias=ab,
             )
             x = x + attn_out
+        elif self.remat_attn:
+            # recompute qkv/scores/softmax in the backward from the saved
+            # (B, T, W) input instead of saving fp32 (B, H, T, T) probs
+            def _attn_fn(mdl, h, ab):
+                return mdl(h, h, h, attn_mask=ab)
+
+            attn_mod = MultiheadAttention(
+                self.d_model, self.n_head, dtype=self.dtype, name="attn"
+            )
+            x = x + nn.remat(_attn_fn, prevent_cse=False)(
+                attn_mod, h, attn_bias
+            )
         else:
             x = x + MultiheadAttention(
                 self.d_model, self.n_head, dtype=self.dtype, name="attn"
@@ -201,6 +225,7 @@ class _ScanBlock(nn.Module):
     heads: int
     fused_attention: bool = False
     fused_attention_vjp: bool = False
+    remat_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -208,6 +233,7 @@ class _ScanBlock(nn.Module):
         y = ResidualAttentionBlock(
             self.width, self.heads, fused_attention=self.fused_attention,
             fused_attention_vjp=self.fused_attention_vjp,
+            remat_attn=self.remat_attn,
             dtype=self.dtype, name="block"
         )(carry, attn_bias)
         return y, None
@@ -221,6 +247,7 @@ class Transformer(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_attention_vjp: bool = False
+    remat_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -236,7 +263,7 @@ class Transformer(nn.Module):
                 in_axes=nn.broadcast,
                 length=self.layers,
             )(self.width, self.heads, self.fused_attention,
-              self.fused_attention_vjp,
+              self.fused_attention_vjp, self.remat_attn,
               dtype=self.dtype, name="blocks")
             if attn_bias is None:
                 attn_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
@@ -247,6 +274,7 @@ class Transformer(nn.Module):
                 self.width, self.heads,
                 fused_attention=self.fused_attention,
                 fused_attention_vjp=self.fused_attention_vjp,
+                remat_attn=self.remat_attn,
                 dtype=self.dtype,
                 name=f"resblocks_{i}"
             )(x, attn_bias)
@@ -318,13 +346,16 @@ class TextTransformer(nn.Module):
             (c.context_length, c.text_width),
         )
         text_vjp = bool(getattr(c, "text_fused_attention_vjp", False))
+        mode = str(getattr(c, "text_remat_mode", "full"))
         self.transformer = Transformer(
             c.text_width, c.text_layers, c.text_heads,
             scan_layers=c.scan_layers,
-            # the vjp kernel replaces remat's recompute-everything with
-            # save-only-layer-inputs; running both would re-run the fwd
-            # kernel inside the backward for no residual savings
-            remat=c.remat and not text_vjp,
+            # the vjp kernel / attn-only remat replace remat's
+            # recompute-everything with a save-only-layer-inputs attention
+            # backward; running full remat on top would re-run the whole
+            # forward for no residual savings
+            remat=c.remat and not text_vjp and mode == "full",
+            remat_attn=not text_vjp and mode == "attn",
             fused_attention_vjp=text_vjp,
             dtype=c.dtype,
             name="transformer",

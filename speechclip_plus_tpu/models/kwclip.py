@@ -222,12 +222,11 @@ class KWClipConfig:
 
         # optional additive key: `clip.text_fused_attention_vjp` routes the
         # TEXT tower's attention through the differentiable fused kernel
-        # (nn/fused_attention_block_vjp.py). The cascaded branch needs
-        # input gradients through the frozen text tower; the custom_vjp
-        # computes dx in-kernel (weight grads DCE under stop_gradient) and
-        # saves only per-layer inputs, so the text scan runs remat-OFF
-        # (no second text forward in the backward). Auto: ON on TPU for a
-        # frozen text tower. YAML `false` reverts to XLA + remat.
+        # (nn/fused_attention_block_vjp.py). Measured round 5: LOSES
+        # in-model at base (166.0 vs 158.8 ms ABA — at T=77 attention is
+        # ~2% of the text FLOPs and the per-(layer,row) kernel grain costs
+        # more than it saves), so the default is OFF; the knob remains for
+        # A/B measurement.
         text_vjp = getattr(cfg.clip, "text_fused_attention_vjp", None)
         text_trainable = bool(
             getattr(cfg.clip, "text_encoder_trainable", False)
@@ -237,14 +236,26 @@ class KWClipConfig:
                 "clip.text_fused_attention_vjp assumes a frozen text tower "
                 "(dx-only backward; weight grads are DCE'd)"
             )
-        if text_vjp is None:
-            import jax as _jax
-
-            text_vjp = (
-                not text_trainable and _jax.default_backend() == "tpu"
-            )
         clip_cfg = dataclasses.replace(
             clip_cfg, text_fused_attention_vjp=bool(text_vjp)
+        )
+
+        # optional additive key: `clip.text_remat` selects the text-tower
+        # remat granularity: "full" (default), "attn" (remat only the
+        # attention sub-block: fp32 (B,H,77,77) softmax residuals
+        # recomputed from the (B,77,W) layer input while the FFN matmuls
+        # run once), or "none". Round-5 3-way ABA at base: full 158.8 ms,
+        # attn-only 161.4/161.3, fused-vjp-kernel 166.0 — FULL remat wins;
+        # on this HBM-bound step recomputing the whole text forward is
+        # cheaper than writing+re-reading even the bf16 FFN residuals.
+        # The knob remains for A/B.
+        text_remat = getattr(cfg.clip, "text_remat", None)
+        if text_remat is None:
+            text_remat = "full"
+        if text_remat in (True, False):
+            text_remat = "full" if text_remat else "none"
+        clip_cfg = dataclasses.replace(
+            clip_cfg, text_remat_mode=str(text_remat)
         )
 
         audio_name = getattr(cfg.audio_encoder, "name", "hubert_base")
