@@ -60,6 +60,9 @@ KNOBS = {
             cfg.clip, "text_fused_attention_vjp", bool(v)), int),
     "text_remat": (
         lambda cfg, v: setattr(cfg.clip, "text_remat", v), str),
+    "fused_score_kernel": (
+        lambda cfg, v: setattr(
+            cfg.model_settings, "fused_score_kernel", bool(v)), int),
 }
 
 

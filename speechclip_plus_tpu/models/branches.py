@@ -197,12 +197,21 @@ class SimpleVectorQuantizer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x: Optional[jnp.ndarray] = None,
         *,
         training: bool = False,
         num_updates: Optional[jnp.ndarray] = None,
         codebook: Optional[jnp.ndarray] = None,
+        xn: Optional[jnp.ndarray] = None,
+        emb: Optional[jnp.ndarray] = None,
+        compute_dtype: Any = jnp.bfloat16,
+        use_fused_kernel: bool = False,
     ) -> Dict[str, jnp.ndarray]:
+        """Quantize scores `x` — or, when `xn`/`emb` are given instead,
+        own the cosine-score computation too: the fused Pallas kernel
+        (ops/fused_keyword.py) streams keyword rows past the VMEM-resident
+        codebook so no (B*T, V) score buffer ever reaches HBM; the
+        fallback builds the same einsum the reference computes."""
         c = self.cfg
         if c.temp_type == "learnable":
             temp = self.param(
@@ -217,6 +226,36 @@ class SimpleVectorQuantizer(nn.Module):
         rng = None
         if training and c.use_gumbel:
             rng = self.make_rng("vq")
+
+        if x is None:
+            assert xn is not None and emb is not None
+            st_compatible = (not training) or (c.hard and not c.use_gumbel)
+            if use_fused_kernel and st_compatible and c.time_first:
+                from ..ops.fused_keyword import fused_cosine_vq
+
+                res = fused_cosine_vq(
+                    xn, emb, temp, prob_msk=c.prob_msk, training=training,
+                    dtype=compute_dtype,
+                )
+                if res is not None:
+                    gt = c.ground_truth_perplexity
+                    if gt is not None:
+                        nv = jnp.float32(res["num_vars"])
+                        res["diversity_loss"] = (
+                            (res["prob_perplexity"] - gt) ** 2
+                        ) / (nv - gt) ** 2
+                    return res
+            # fallback: materialized cosine scores (reference einsum form)
+            embf = jnp.asarray(emb, jnp.float32)
+            en = embf / jnp.maximum(
+                jnp.linalg.norm(embf, axis=-1, keepdims=True), 1e-8
+            )
+            x = jnp.einsum(
+                "bkd,vd->bkv",
+                xn.astype(compute_dtype), en.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            codebook = embf
         return simple_vector_quantizer(
             x,
             temp=temp,
@@ -289,6 +328,11 @@ class KeywordHeadConfig:
     vq: VQConfig = VQConfig()
     bn: KwBnConfig = KwBnConfig()
     keyword_num: int = 8
+    # fused cosine-score+VQ Pallas kernel (ops/fused_keyword.py): VMEM-
+    # resident codebook, no (B*K, V) HBM buffers in either pass. Set by
+    # KWClipConfig.from_config (TPU + frozen token embedding only — the
+    # kernel does not produce a codebook gradient).
+    fused_score_kernel: bool = False
     # compute dtype for the projection and the two (B*K, V)-sized matmuls;
     # bfloat16 under trainer.precision 16 (VQ softmax/statistics stay fp32
     # inside ops/vq.py regardless — only storage of the score/prob buffers
@@ -341,21 +385,21 @@ class KeywordHead(nn.Module):
         # mantissa bits (resolution ~2^-8 near 1) create exact ties that
         # argmax resolves toward low token ids, skewing codeword selection.
         # The reference's fp16 autocast keeps 10 bits (~8x finer) there
-        # (`kw_branches.py:158-179` under `precision: 16`).
+        # (`kw_branches.py:158-179` under `precision: 16`). The score
+        # computation itself lives in SimpleVectorQuantizer: the fused
+        # kernel path never materializes it to HBM, the fallback builds
+        # exactly the einsum above.
         emb = jnp.asarray(token_embedding, jnp.float32)
         xn = x.astype(jnp.float32)
         xn = xn / jnp.maximum(jnp.linalg.norm(xn, axis=-1, keepdims=True), 1e-8)
-        en = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
-        cos_score = jnp.einsum(
-            "bkd,vd->bkv", xn.astype(c.dtype), en.astype(c.dtype),
-            preferred_element_type=jnp.float32,
-        )
 
         vq_results = SimpleVectorQuantizer(cfg=c.vq, name="vector_quantizer")(
-            cos_score,
             training=training,
             num_updates=num_updates,
-            codebook=emb,
+            xn=xn,
+            emb=emb,
+            compute_dtype=c.dtype,
+            use_fused_kernel=c.fused_score_kernel,
         )
         keywords = vq_results.pop("keywords")
         return vq_results, keywords

@@ -517,6 +517,29 @@ class KWClipConfig:
             parallel_ta = dataclasses.replace(parallel_ta, dtype=jnp.bfloat16)
             head = dataclasses.replace(head, dtype=jnp.bfloat16)
 
+        # optional additive key: `model_settings.fused_score_kernel` routes
+        # the keyword head's cosine-score + VQ through the fused Pallas
+        # kernel (ops/fused_keyword.py): VMEM-resident codebook, no
+        # (B*K, V) score/softmax buffers in HBM in either pass. Legal only
+        # with a frozen token embedding (the kernel emits no codebook
+        # gradient); auto: ON on TPU when the text tower is frozen. The
+        # kernel itself falls back when the table does not fit VMEM.
+        fused_score = getattr(ms, "fused_score_kernel", None)
+        if fused_score is None:
+            import jax as _jax
+
+            fused_score = (
+                not text_trainable and _jax.default_backend() == "tpu"
+            )
+        elif fused_score and text_trainable:
+            raise ValueError(
+                "model_settings.fused_score_kernel requires a frozen text "
+                "tower (no codebook gradient, ops/fused_keyword.py)"
+            )
+        head = dataclasses.replace(
+            head, fused_score_kernel=bool(fused_score)
+        )
+
         # optional additive key: `model_settings.fused_attention_vjp` routes
         # the TRAINABLE branch self-attention through the differentiable
         # fused block kernel (nn/fused_attention_block_vjp.py): full
