@@ -772,10 +772,11 @@ class HubertEncoderLayer(nn.Module):
         c = self.cfg
         dh = c.d_model // c.n_heads
 
-        def gated_position_bias(h):
+        def rel_pos_gate(h):
             """WavLM per-layer gate on the shared relative-position bias
             (HF WavLMAttention: gate from the PRE-projection hidden states,
-            per head and query position)."""
+            per head and query position). Returns (B, H, T) — the gated
+            bias factorizes as gate(b,h,q) * position_bias(h,q,k)."""
             B, T, D = h.shape
             H = c.n_heads
             gh = h.reshape(B, T, H, dh).transpose(0, 2, 1, 3)  # (B,H,T,dh)
@@ -786,14 +787,45 @@ class HubertEncoderLayer(nn.Module):
                 "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1)
             ).astype(jnp.float32)
             gate = gate_a * (gate_b * const - 1.0) + 2.0      # (B,H,T,1)
-            return gate * position_bias[None].astype(jnp.float32)
+            return gate[..., 0]
 
         def attn(h):
             B, T, D = h.shape
+            if position_bias is not None and getattr(
+                c, "fused_attention_block", False
+            ):
+                # WavLM through the fused block kernel: the shared (H,T,T)
+                # bias rides resident (bf16) and the per-row gate is a
+                # kernel input — the (B,H,T,T) gated bias never exists
+                from ..nn.fused_attention_block import fused_attention_block
+
+                gate = rel_pos_gate(h)
+                wq, bq = _DenseParams(D, D, name="q_proj")()
+                wk, bk = _DenseParams(D, D, name="k_proj")()
+                wv, bv = _DenseParams(D, D, name="v_proj")()
+                wo, bo = _DenseParams(D, D, name="out_proj")()
+                kp2 = None
+                if key_padding_bias is not None:
+                    kp2 = key_padding_bias
+                    if kp2.ndim == 4:
+                        kp2 = kp2[:, 0, 0, :]
+                return fused_attention_block(
+                    h, wq, bq, wk, bk, wv, bv, wo, bo, kp2,
+                    n_heads=c.n_heads,
+                    dropout_rate=c.attention_dropout,
+                    dropout_rng=self.make_rng("dropout")
+                    if (c.attention_dropout > 0 and not deterministic)
+                    else None,
+                    deterministic=deterministic,
+                    dtype=c.dtype,
+                    attn_bias=position_bias,
+                    attn_gate=gate,
+                )
             if position_bias is not None:
-                # WavLM path: full (B,H,T,T) additive bias -> XLA attention
-                # (the fused block kernel only supports key-padding bias)
-                bias = gated_position_bias(h)
+                # WavLM XLA path: full (B,H,T,T) additive bias
+                bias = rel_pos_gate(h)[:, :, :, None] * position_bias[
+                    None
+                ].astype(jnp.float32)
                 if key_padding_bias is not None:
                     bias = bias + key_padding_bias
                 q = nn.Dense(D, dtype=c.dtype, name="q_proj")(h)

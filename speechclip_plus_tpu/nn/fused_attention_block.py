@@ -92,17 +92,20 @@ def _vmem_estimate(b: int, t: int, d: int, dh: int, groups: int,
 
 
 def _pick_groups(b: int, t: int, d: int, dh: int, n_heads: int,
-                 itemsize: int = 2):
+                 itemsize: int = 2, ab_bytes_per_head: int = 0):
     """Smallest head-group count whose working set fits VMEM (None = no
     fit -> XLA fallback). Grid order (G, B) keeps each group's weight
     block resident across the whole batch, so weights are re-fetched only
-    G times per layer."""
+    G times per layer. `ab_bytes_per_head`: resident per-head attention
+    bias footprint (the (hpg, T, T) block scales with heads per group)."""
     g = 1
     while g <= n_heads:
         # g > 1 writes (1, T, D/G) output blocks at lane offset g*D/G,
         # which must stay lane-tile (128) aligned on TPU
         if n_heads % g == 0 and (g == 1 or (d // g) % 128 == 0):
-            if _vmem_estimate(b, t, d, dh, g, itemsize) <= _VMEM_BUDGET_BYTES:
+            est = _vmem_estimate(b, t, d, dh, g, itemsize)
+            est += (n_heads // g) * ab_bytes_per_head
+            if est <= _VMEM_BUDGET_BYTES:
                 return g
         g *= 2
     return None
@@ -115,7 +118,7 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
             heads_per_group: int, keep_thresh: Optional[int],
             inv_keep: float, wo_ref=None, bo_ref=None,
-            ab_ref=None, grid_1d: bool = False):
+            ab_ref=None, gate_ref=None, grid_1d: bool = False):
     """Grid step = (head-group g, batch element b); x block (1, T, D),
     weight block (D, 3*Dg) for the group's [q|k|v] columns, output block
     (1, T, Dg) at lane offset g*Dg (the whole (T, D) row when G == 1,
@@ -166,7 +169,14 @@ def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
         if ab_ref is not None:
             # per-head additive attention bias (causal mask, WavLM-style
             # relative position bias): block (hpg, T, T), this group's heads
-            s = s + ab_ref[h].astype(jnp.float32)
+            ab_h = ab_ref[h].astype(jnp.float32)
+            if gate_ref is not None:
+                # WavLM gated relative position bias: the (B, H, T, T)
+                # tensor factorizes as gate(b,h,q) * shared(h,q,k) — the
+                # shared part rides resident, the gate is a per-row scalar
+                s = s + gate_ref[0, h].astype(jnp.float32)[:, None] * ab_h
+            else:
+                s = s + ab_h
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         w = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -192,7 +202,7 @@ def _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, *,
 
 def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
                 keep_thresh, inv_keep, interpret, attn_bias=None,
-                fuse_out=None):
+                fuse_out=None, attn_gate=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -203,15 +213,22 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
     vmem = pltpu.VMEM
     const = lambda *_: (0, 0)
     has_ab = attn_bias is not None
+    has_gate = attn_gate is not None
+    assert not (has_gate and not has_ab)
+
+    def _sub_refs(rest):
+        ab_ref = rest[0] if has_ab else None
+        gate_ref = rest[1] if has_gate else None
+        return ab_ref, gate_ref
 
     if fuse_out:
         def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                    bias_ref, *rest):
-            ab_ref = rest[0] if has_ab else None
+            ab_ref, gate_ref = _sub_refs(rest)
             _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, rest[-1],
                     heads_per_group=heads_per_group, keep_thresh=keep_thresh,
                     inv_keep=inv_keep, wo_ref=wo_ref, bo_ref=bo_ref,
-                    ab_ref=ab_ref, grid_1d=True)
+                    ab_ref=ab_ref, gate_ref=gate_ref, grid_1d=True)
 
         extra_specs = [
             pl.BlockSpec((d, d), const, memory_space=vmem),
@@ -223,10 +240,10 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
         # group weight block would break the VMEM budget exactly in the
         # configs that need grouping (D >= 1024)
         def kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, *rest):
-            ab_ref = rest[0] if has_ab else None
+            ab_ref, gate_ref = _sub_refs(rest)
             _kernel(seed_ref, x_ref, wqkv_ref, bqkv_ref, bias_ref, rest[-1],
                     heads_per_group=heads_per_group, keep_thresh=keep_thresh,
-                    inv_keep=inv_keep, ab_ref=ab_ref,
+                    inv_keep=inv_keep, ab_ref=ab_ref, gate_ref=gate_ref,
                     grid_1d=groups == 1)
 
         extra_specs = []
@@ -256,6 +273,16 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
         if has_ab else []
     )
     ab_inputs = (attn_bias,) if has_ab else ()
+    if has_gate:
+        if groups == 1:
+            gate_map = lambda i, *_: (i, 0, 0)
+        else:
+            gate_map = lambda g, i, *_: (i, g, 0)
+        ab_specs.append(
+            pl.BlockSpec((1, heads_per_group, t), gate_map,
+                         memory_space=vmem)
+        )
+        ab_inputs = ab_inputs + (attn_gate,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -284,7 +311,8 @@ def _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group, groups,
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
-                     interpret, has_ab=False, fuse_out=None):
+                     interpret, has_ab=False, fuse_out=None,
+                     has_gate=False):
     """SPMD-partitionable wrapper: XLA cannot partition a pallas_call, so
     under a multi-device mesh the kernel registers its own partitioning —
     batch-shard x/bias/out, replicate weights, run the per-shard grid.
@@ -304,7 +332,8 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
         return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed,
                            heads_per_group, groups, keep_thresh, inv_keep,
                            interpret, attn_bias=ab[0] if ab else None,
-                           fuse_out=fuse_out)
+                           fuse_out=fuse_out,
+                           attn_gate=ab[1] if has_gate else None)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
         x_sh = arg_shapes[1].sharding
@@ -318,7 +347,10 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
             NamedSharding(mesh, P(axis, None, None)),  # x
             repl, repl, repl, repl,                 # weights/biases
             NamedSharding(mesh, P(axis, None)),     # key bias
-        ) + ((repl,) if has_ab else ())             # per-head attn bias
+        ) + ((repl,) if has_ab else ()) + (
+            # per-batch gate rows shard with the batch
+            (NamedSharding(mesh, P(axis, None, None)),) if has_gate else ()
+        )
         out_sharding = NamedSharding(mesh, P(axis, None, None))
 
         def lower_fn(seed, x, wqkv, bqkv, wo, bo, bias, *ab):
@@ -332,7 +364,8 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
                                heads_per_group, groups, keep_thresh,
                                inv_keep, interpret,
                                attn_bias=ab[0] if ab else None,
-                               fuse_out=fuse_out)
+                               fuse_out=fuse_out,
+                               attn_gate=ab[1] if has_gate else None)
 
         return mesh, lower_fn, out_sharding, arg_shardings
 
@@ -346,6 +379,9 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
         # independent (replicated in our use), and nothing ties t/d so no
         # sharding can propagate into the attention or contraction dims
         sharding_rule=(
+            "s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2, h t3 t4, b h2 t5"
+            " -> b t d"
+            if has_gate else
             "s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2, h t3 t4 -> b t d"
             if has_ab else
             "s, b t d, w1 w2, q1 q2, o1 o2, p1 p2, b t2 -> b t d"
@@ -354,25 +390,28 @@ def _partitioned_fwd(heads_per_group, groups, keep_thresh, inv_keep,
     return call
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, attn_bias, seed,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _fused_nograd(x, wqkv, bqkv, wo, bo, bias, attn_bias, attn_gate, seed,
                   heads_per_group, groups, keep_thresh, inv_keep, interpret):
     if jax.device_count() > 1:
         ab = () if attn_bias is None else (attn_bias,)
+        if attn_gate is not None:
+            ab = ab + (attn_gate,)
         return _partitioned_fwd(
             heads_per_group, groups, keep_thresh, inv_keep, interpret,
             has_ab=attn_bias is not None,
+            has_gate=attn_gate is not None,
         )(seed, x, wqkv, bqkv, wo, bo, bias, *ab)
     return _pallas_fwd(x, wqkv, bqkv, wo, bo, bias, seed, heads_per_group,
                        groups, keep_thresh, inv_keep, interpret,
-                       attn_bias=attn_bias)
+                       attn_bias=attn_bias, attn_gate=attn_gate)
 
 
-def _fused_fwd(x, wqkv, bqkv, wo, bo, bias, attn_bias, seed,
+def _fused_fwd(x, wqkv, bqkv, wo, bo, bias, attn_bias, attn_gate, seed,
                heads_per_group, groups, keep_thresh, inv_keep, interpret):
     return (
-        _fused_nograd(x, wqkv, bqkv, wo, bo, bias, attn_bias, seed,
-                      heads_per_group, groups, keep_thresh, inv_keep,
+        _fused_nograd(x, wqkv, bqkv, wo, bo, bias, attn_bias, attn_gate,
+                      seed, heads_per_group, groups, keep_thresh, inv_keep,
                       interpret),
         None,
     )
@@ -415,6 +454,7 @@ def fused_attention_block(
     dtype: jnp.dtype = jnp.bfloat16,
     interpret: bool = False,
     attn_bias: Optional[jnp.ndarray] = None,
+    attn_gate: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full attention sub-block: projections + attention + output projection.
 
@@ -431,6 +471,10 @@ def fused_attention_block(
       attn_bias: optional per-head additive attention bias, (T, T),
         (1, T, T) or (H, T, T), shared across the batch (causal mask,
         WavLM-style relative position bias). Rides resident in VMEM.
+      attn_gate: optional (B, H, T) multiplicative gate on `attn_bias`
+        (WavLM's gated relative position bias factorizes as
+        gate(b,h,q) * shared(h,q,k)); when given, the resident bias is
+        kept bf16 so gate+bias fit the VMEM budget at WavLM shapes.
 
     Falls back to the XLA path (identical math through
     `dot_product_attention`) off-TPU and beyond the VMEM budget.
@@ -440,7 +484,13 @@ def fused_attention_block(
     scale = 1.0 / float(dh) ** 0.5
 
     on_tpu = jax.default_backend() == "tpu"
-    groups = _pick_groups(b, t, d, dh, n_heads, jnp.dtype(dtype).itemsize)
+    tp_est = _round_up(t, 16)
+    ab_bytes = 0
+    if attn_bias is not None:
+        per_elt = 2 if attn_gate is not None else 4
+        ab_bytes = tp_est * _round_up(tp_est, 128) * per_elt
+    groups = _pick_groups(b, t, d, dh, n_heads, jnp.dtype(dtype).itemsize,
+                          ab_bytes_per_head=ab_bytes)
     if (not on_tpu and not interpret) or groups is None:
         from .attention import dot_product_attention
 
@@ -458,6 +508,8 @@ def fused_attention_block(
             ab4 = attn_bias.reshape(
                 (1,) * (3 - attn_bias.ndim) + attn_bias.shape
             )[None]                                  # (1, H|1, T, T)
+            if attn_gate is not None:
+                ab4 = attn_gate.astype(jnp.float32)[:, :, :, None] * ab4
             bias4 = ab4 if bias4 is None else bias4 + ab4
         out = dot_product_attention(
             split(q), split(k), split(v), bias=bias4,
@@ -502,15 +554,25 @@ def fused_attention_block(
         xc = jnp.pad(xc, ((0, 0), (0, pad_t), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, pad_t)), constant_values=_NEG_INF)
     ab = None
+    gate = None
     if attn_bias is not None:
+        # bf16 bias under gating: the gated (WavLM) configuration carries a
+        # (12, 336, 336) resident block — fp32 would break the VMEM budget
+        # at exactly those shapes; the bias is added to fp32 scores, so the
+        # only loss is the bias's own bf16 rounding (PARITY.md)
+        ab_dtype = jnp.bfloat16 if attn_gate is not None else jnp.float32
         ab = jnp.broadcast_to(
             attn_bias.reshape((1,) * (3 - attn_bias.ndim) + attn_bias.shape),
             (n_heads, t, t),
-        ).astype(jnp.float32)
+        ).astype(ab_dtype)
         if pad_t:
             # padded key columns already carry -inf from the key bias; pad
             # the per-head bias with zeros on both axes
             ab = jnp.pad(ab, ((0, 0), (0, pad_t), (0, pad_t)))
+    if attn_gate is not None:
+        gate = attn_gate.astype(jnp.float32)
+        if pad_t:
+            gate = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_t)))
 
     if dropout_rate > 0.0 and not deterministic:
         assert dropout_rng is not None
@@ -522,7 +584,7 @@ def fused_attention_block(
         keep_thresh, inv_keep = None, 1.0
         seed = jnp.zeros((1,), jnp.int32)
 
-    out = _fused_nograd(xc, wqkv, bqkv, wo_c, bo_c, bias, ab, seed,
+    out = _fused_nograd(xc, wqkv, bqkv, wo_c, bo_c, bias, ab, gate, seed,
                         n_heads // groups, groups, keep_thresh, inv_keep,
                         interpret)
     if pad_t:

@@ -99,13 +99,16 @@ def _fwd_kernel(x_ref, en_ref, mask_ref, k_ref, ent_ref, stats_ref):
         preferred_element_type=jnp.float32,
     )                                                # (R, V_pad)
     s = jnp.where(mask_ref[0] != 0, _MASK_VALUE, s)
-    k_ref[0] = jnp.argmax(s, axis=-1).astype(jnp.int32)
+    # k/ent ride as full resident (n_blocks, R) outputs (Mosaic forbids
+    # (1, R) blocks: second-minor must divide 8); each program writes its
+    # own row
+    k_ref[pid, :] = jnp.argmax(s, axis=-1).astype(jnp.int32)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)                               # masked cols -> 0
     z = jnp.sum(e, axis=-1, keepdims=True)
     p = e / z
     # ent = -sum p log p = log z - sum(e * (s - m)) / z
-    ent_ref[0] = (
+    ent_ref[pid, :] = (
         jnp.log(z[:, 0]) - jnp.sum(e * (s - m), axis=-1) / z[:, 0]
     )
     colsum = jnp.sum(p, axis=0, keepdims=True)       # (1, V_pad)
@@ -193,8 +196,8 @@ def _pallas_fwd_call(xn, en, mask, r, interpret):
             pl.BlockSpec((1, v_pad), lambda i: (0, 0), memory_space=vmem),
         ],
         out_specs=[
-            pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=vmem),
-            pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((n // r, r), lambda i: (0, 0), memory_space=vmem),
+            pl.BlockSpec((n // r, r), lambda i: (0, 0), memory_space=vmem),
             pl.BlockSpec((1, v_pad), lambda i: (0, 0), memory_space=vmem),
         ],
         out_shape=out_shapes,

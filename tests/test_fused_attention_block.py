@@ -215,3 +215,29 @@ def test_spmd_partitioned_over_data_mesh():
     assert out.sharding.spec[0] == "data", out.sharding
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gated_position_bias_matches_xla():
+    """WavLM-style gated relative position bias: gate(b,h,q) * shared
+    (h,q,k) computed in-kernel vs the materialized (B,H,T,T) XLA bias."""
+    rng = np.random.RandomState(7)
+    B, H, D, T = 2, 4, 64, 48
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    p = _params(rng, D)
+    pos = jnp.asarray(rng.randn(H, T, T).astype(np.float32) * 0.5)
+    gate = jnp.asarray((1.0 + rng.rand(B, H, T)).astype(np.float32))
+    lens = np.array([T, T - 7])
+    kpm = jnp.asarray(np.arange(T)[None, :] >= lens[:, None])
+    kp2 = jnp.where(kpm, -1e30, 0.0).astype(jnp.float32)
+
+    bias4 = gate[:, :, :, None] * pos[None] + kp2[:, None, None, :]
+    ref = _xla_reference(x, p, H, bias4)
+    out = fused_attention_block(
+        x, p["wq"], p["bq"], p["wk"], p["bk"], p["wv"], p["bv"],
+        p["wo"], p["bo"], kp2, n_heads=H, dtype=jnp.float32,
+        interpret=True, attn_bias=pos, attn_gate=gate,
+    )
+    # the gated kernel keeps the resident bias in bf16 (VMEM budget at
+    # WavLM shapes); tolerance covers that single-term rounding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
