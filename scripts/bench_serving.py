@@ -111,6 +111,32 @@ def main():
               flush=True)
         return n / dt
 
+    def bench_compute_floor(label):
+        """Pure on-chip bound: device-RESIDENT padded waveforms, chained
+        dispatch of the jitted query, one host sync per timed window — no
+        tunnel upload or top-k fetch in the measured loop. This is the
+        ceiling the transfer-bound end-to-end numbers should be read
+        against (round-4 verdict #7)."""
+        import jax.numpy as jnp
+
+        w = jax.device_put(
+            jnp.asarray(rng.randn(args.batch, args.wav_len), jnp.float32)
+        )
+        lens = jax.device_put(
+            jnp.full((args.batch,), args.wav_len, jnp.int32)
+        )
+        out = retr._query(sc.variables, w, lens, index.feats, k=args.k)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = retr._query(sc.variables, w, lens, index.feats, k=args.k)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        qps = args.batch / dt
+        print(f"{label}: {dt * 1e3:.1f} ms/batch = {qps:.1f} queries/s/chip "
+              "(no transfers)", flush=True)
+        return qps
+
     print(f"device={jax.devices()[0].device_kind} index={args.index_size} "
           f"k={args.k} wav={args.wav_len / 16000:.1f}s wire={args.wire}",
           flush=True)
@@ -120,6 +146,10 @@ def main():
     rate = bench_pipelined(max(args.iters // 2, 6),
                            f"pipelined batch {args.batch} x depth 2")
     print(f"throughput (pipelined): {rate:.1f} queries/s/chip")
+    floor = bench_compute_floor(
+        f"compute floor (device-resident batch {args.batch})"
+    )
+    print(f"compute_floor_qps: {floor:.1f}")
 
 
 if __name__ == "__main__":

@@ -127,7 +127,7 @@ def _bwd_kernel(x_ref, g_ref, en_ref, norms_ref, mask_ref, t_ref,
     pid = pl.program_id(0)
     x = x_ref[0]
     g = g_ref[0]
-    t = t_ref[0, 0]
+    t = t_ref[...]                                   # (1,1), broadcasts
     s = jax.lax.dot_general(
         x, en_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -153,8 +153,9 @@ def _bwd_kernel(x_ref, g_ref, en_ref, norms_ref, mask_ref, t_ref,
         dt_ref[...] = jnp.zeros_like(dt_ref)
 
     # dz is exactly 0 on masked columns (p underflows to 0), so the huge
-    # masked s never contributes
-    dt_ref[0, 0] += jnp.sum(dz * (-s / (t * t)))
+    # masked s never contributes. (1,1)-shaped store: Mosaic rejects
+    # scalar VMEM stores.
+    dt_ref[...] += jnp.sum(dz * (-s / (t * t))).reshape(1, 1)
 
 
 def _pad_table(en: jnp.ndarray, norms: jnp.ndarray, v_pad: int):
@@ -249,19 +250,18 @@ def _core(xn, en, mask, r_fwd, interpret, v):
     return k, ent, psum[:v]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _st_gather(xn, en, norms, mask, temp, k, r_bwd, interpret):
-    """keywords = emb[k] = en[k] * norms[k] with the straight-through
-    backward into xn (and temp)."""
-    kw = jnp.take(en, k, axis=0).astype(jnp.float32) * jnp.take(
-        norms, k, axis=0
-    )[:, None]
-    return kw
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _st_gather(xn, embf, en, norms, mask, temp, k, r_bwd, interpret):
+    """keywords = emb[k] with the straight-through backward into xn (and
+    temp). The gather runs in XLA against the exact fp32 table; only the
+    backward is the Pallas kernel (which uses the bf16 normalized table +
+    the norm factorization)."""
+    return jnp.take(embf, k, axis=0)
 
 
-def _st_gather_fwd(xn, en, norms, mask, temp, k, r_bwd, interpret):
+def _st_gather_fwd(xn, embf, en, norms, mask, temp, k, r_bwd, interpret):
     return (
-        _st_gather(xn, en, norms, mask, temp, k, r_bwd, interpret),
+        _st_gather(xn, embf, en, norms, mask, temp, k, r_bwd, interpret),
         (xn, en, norms, mask, temp, k),
     )
 
@@ -275,6 +275,7 @@ def _st_gather_bwd(r_bwd, interpret, res, g):
         # the codebook is frozen in every reference configuration (the
         # wrapper is gated on that); zero cotangents keep AD legal and
         # fold away
+        jnp.zeros((en.shape[0], en.shape[1]), jnp.float32),
         jnp.zeros_like(en),
         jnp.zeros_like(norms),
         np.zeros(jnp.shape(mask), dtype=jax.dtypes.float0),
@@ -356,8 +357,10 @@ def fused_cosine_vq(
     ) / num_vars_f
 
     if training:
-        kw = _st_gather(flat, en_p, norms_p, mask, temp, k, r_bwd,
-                        interpret)
+        embf_pad = jnp.pad(embf, ((0, v_pad - V), (0, 0))) \
+            if v_pad != V else embf
+        kw = _st_gather(flat, embf_pad, en_p, norms_p, mask, temp, k,
+                        r_bwd, interpret)
     else:
         kw = jnp.take(embf, k, axis=0)
     result["keywords"] = kw.reshape(B, K, D)
