@@ -21,6 +21,7 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..nn.dropout import FastDropout
 from ..ops.cif import MAX_FEAT_LEN, integrate_and_fire, scale_alpha
 
 __all__ = ["CifConfig", "CIF"]
@@ -101,13 +102,17 @@ class CIF(nn.Module):
                     dtype=c.dtype,
                     name=f"conv_{i}",
                 )(x)
-                x = nn.Dropout(0.5)(x, deterministic=deterministic)
+                # dithered 8-bit keep masks (ops/random.keep_mask) — exact
+                # marginal keep probability at half the RNG draws of
+                # jax.random.bernoulli (same convention as the branch
+                # transformers, nn/dropout.py)
+                x = FastDropout(0.5)(x, deterministic=deterministic)
                 x = nn.relu(x)
         else:
             raise NotImplementedError(c.produce_weight_type)
 
         # alpha head: Dropout -> Linear(1) -> Sigmoid (reference cif.py:84-86)
-        x = nn.Dropout(0.5)(x, deterministic=deterministic)
+        x = FastDropout(0.5)(x, deterministic=deterministic)
         alpha = nn.sigmoid(
             nn.Dense(1, dtype=jnp.float32, name="weight_proj")(x)
         )[..., 0].astype(jnp.float32)  # (B, S)

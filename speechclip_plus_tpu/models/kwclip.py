@@ -516,6 +516,13 @@ class KWClipConfig:
             cascaded_ta = dataclasses.replace(cascaded_ta, dtype=jnp.bfloat16)
             parallel_ta = dataclasses.replace(parallel_ta, dtype=jnp.bfloat16)
             head = dataclasses.replace(head, dtype=jnp.bfloat16)
+            if cif is not None:
+                # the reference's fp16 autocast covers the CIF alpha conv
+                # like every other trainable submodule (base_task.py:197);
+                # round 1-4 left it fp32 (a 4x-slower MXU path for the
+                # 768x768x3 conv). The alpha HEAD (weight_proj -> sigmoid
+                # -> cumsum chain) stays fp32 inside models/cif.py.
+                cif = dataclasses.replace(cif, dtype=jnp.bfloat16)
 
         # optional additive key: `model_settings.fused_score_kernel` routes
         # the keyword head's cosine-score + VQ through the fused Pallas
