@@ -128,6 +128,21 @@ class TrainSpeechClipBaseTask(BaseTask):
                 vocab.reduced2original if vocab is not None else None,
             )
             text_processor = ClipTextProcessor(tokenizer, vocab)
+        elif vocab is not None:
+            # no BPE vocabulary on disk (data.dataset.bpe_path: null — this
+            # zero-egress environment cannot fetch
+            # bpe_simple_vocab_16e6.txt.gz): still produce the keyword
+            # neighbor artifacts with symbolic token names `tok_<original
+            # CLIP id>` so the epoch dumps exist and the id-level content
+            # is real; with the BPE file present the names become subword
+            # strings (reference kwClip.py:404-445)
+            from ..utils.keyword_extraction import KeywordDecoder
+
+            r2o = vocab.reduced2original  # dict: reduced id -> original id
+            decoder = KeywordDecoder(
+                {int(i): f"tok_{int(i)}" for i in r2o.values()},
+                r2o,
+            )
 
         save_path = args.save_path
         metrics_logger = set_metrics_logger(
