@@ -29,13 +29,22 @@ def linear_warmup_decay_schedule(
     final_lr: float = 1e-8,
 ):
     """Linear warmup to base_lr over ``warmup`` steps, then linear decay so
-    that lr(max_step) == final_lr (reference ``scheduler.py:22-38``)."""
+    that lr(max_step) == final_lr (reference ``scheduler.py:22-38``).
+
+    Intent-over-quirk (PARITY.md): the reference's LambdaLR extrapolates
+    NEGATIVE past max_step (`scheduler.py:33-36`) — harmless there because
+    Lightning stops at trainer.max_steps == max_step, but a resumed run
+    with extended trainer.max_steps would train with a negative lr and
+    diverge (observed on the round-5 synthetic fit). The decay is floored
+    at final_lr.
+    """
     final_rate = final_lr / base_lr
 
     def schedule(step):
         step = jnp.asarray(step, dtype=jnp.float32)
         warm = (step + 1.0) / warmup
         decay = 1.0 - (1.0 - final_rate) * (step + 1.0 - warmup) / (max_step - warmup)
+        decay = jnp.maximum(decay, final_rate)
         return base_lr * jnp.where(step < warmup, warm, decay)
 
     return schedule

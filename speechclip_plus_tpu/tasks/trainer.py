@@ -181,7 +181,19 @@ class Trainer:
 
     def resume(self, ckpt_dir: str) -> None:
         """Restore full fit state (params, opt state, step, epoch) from an
-        orbax dir (reference `--resume`, `base_task.py:60-61,206,211`)."""
+        orbax dir (reference `--resume`, `base_task.py:60-61,206,211`).
+
+        Accepts the checkpoint MANAGER root (the dir holding
+        fit_state.json + the last/val_loss/val_recall_mean_10 monitors) or,
+        for convenience, a monitor subdir / step dir inside it — users
+        naturally point --resume at `checkpoints/last`."""
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        probe = ckpt_dir
+        for _ in range(3):
+            if os.path.exists(os.path.join(probe, "fit_state.json")):
+                ckpt_dir = probe
+                break
+            probe = os.path.dirname(probe)
         mgr = CheckpointManager(ckpt_dir)
         self.state = mgr.restore(self.state)
         if self._state_sharding is not None:
