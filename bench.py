@@ -471,13 +471,22 @@ def main():
     # large-family numbers, measured on hardware via
     # `BENCH_CONFIG=config/speechclip_plus/large/flickr/hybrid_plus.yaml
     #  BENCH_OUT=BENCH_LARGE.json python bench.py` and committed
-    large_path = os.path.join(os.path.dirname(__file__), "BENCH_LARGE.json")
-    if os.path.exists(large_path):
-        try:
-            with open(large_path) as f:
-                row["large"] = json.load(f)
-        except Exception:
-            pass
+    # committed sub-benchmarks, measured on hardware via BENCH_CONFIG/
+    # BENCH_OUT (large family, WavLM / data2vec upstreams, B=256 recipe)
+    here = os.path.dirname(__file__)
+    for key, fname in (
+        ("large", "BENCH_LARGE.json"),
+        ("wavlm_base_plus", "BENCH_WAVLM.json"),
+        ("data2vec", "BENCH_D2V.json"),
+        ("b256", "BENCH_B256.json"),
+    ):
+        path = os.path.join(here, fname)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    row[key] = json.load(f)
+            except Exception:
+                pass
     if os.environ.get("BENCH_OUT"):
         with open(os.environ["BENCH_OUT"], "w") as f:
             json.dump({**{k: (v if v == v else None)
